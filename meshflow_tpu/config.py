@@ -1,0 +1,153 @@
+"""Static configuration for the MeshFlow-TPU pipeline.
+
+The reference (``/root/reference/meshflowstabilizer.py:43-99``) stores eleven
+hyperparameters as instance attributes on ``MeshFlowStabilizer``.  Here they
+live in a frozen, hashable dataclass so the whole pipeline can be traced once
+per configuration under ``jax.jit`` (the config is a static argument:
+mesh dims, subframe dims, capacities, and iteration counts all determine
+array shapes or unrolled loop counts).
+
+Extra fields (feature capacities, RANSAC iteration count, LK iteration count)
+have no reference counterpart: they arise because a TPU needs fixed shapes
+where OpenCV returned ragged arrays and ran data-dependent loops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+# Adaptive-weights variants — same names and values as the reference
+# (/root/reference/meshflowstabilizer.py:32-40).
+ADAPTIVE_WEIGHTS_DEFINITION_ORIGINAL = 0
+ADAPTIVE_WEIGHTS_DEFINITION_FLIPPED = 1
+ADAPTIVE_WEIGHTS_DEFINITION_CONSTANT_HIGH = 2
+ADAPTIVE_WEIGHTS_DEFINITION_CONSTANT_LOW = 3
+
+ADAPTIVE_WEIGHTS_DEFINITION_CONSTANT_HIGH_VALUE = 100
+ADAPTIVE_WEIGHTS_DEFINITION_CONSTANT_LOW_VALUE = 1
+
+_VALID_DEFINITIONS = (
+    ADAPTIVE_WEIGHTS_DEFINITION_ORIGINAL,
+    ADAPTIVE_WEIGHTS_DEFINITION_FLIPPED,
+    ADAPTIVE_WEIGHTS_DEFINITION_CONSTANT_HIGH,
+    ADAPTIVE_WEIGHTS_DEFINITION_CONSTANT_LOW,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshFlowConfig:
+    """Hashable pipeline configuration (static under jit).
+
+    Defaults mirror the reference constructor
+    (/root/reference/meshflowstabilizer.py:43-49).
+    """
+
+    # --- reference hyperparameters -------------------------------------
+    mesh_row_count: int = 16
+    mesh_col_count: int = 16
+    mesh_outlier_subframe_row_count: int = 4
+    mesh_outlier_subframe_col_count: int = 4
+    feature_ellipse_row_count: int = 10
+    feature_ellipse_col_count: int = 10
+    homography_min_number_corresponding_features: int = 4
+    temporal_smoothing_radius: int = 10
+    optimization_num_iterations: int = 100
+    color_outside_image_area_bgr: Tuple[int, int, int] = (0, 0, 255)
+    visualize: bool = False
+
+    # --- TPU-native knobs (no reference counterpart) -------------------
+    # FAST corner threshold / NMS follow OpenCV FastFeatureDetector_create()
+    # defaults (threshold=10, nonmaxSuppression=True, TYPE_9_16).
+    fast_threshold: int = 10
+    # Fixed per-subframe feature capacity (top-K by FAST score).  OpenCV
+    # returns ragged keypoint lists; a TPU needs a static shape.
+    max_features_per_subframe: int = 256
+    # Lucas-Kanade parameters: OpenCV calcOpticalFlowPyrLK defaults are
+    # winSize=(21,21), maxLevel=3, criteria=(30 iters, eps=0.01).  The
+    # effective pyramid depth is derived from the subframe size the way
+    # OpenCV's buildOpticalFlowPyramid clamps it (see lk_max_level()).
+    lk_window_size: int = 21
+    lk_max_level_cap: int = 3
+    lk_max_iterations: int = 30
+    lk_epsilon: float = 0.01
+    lk_min_eig_threshold: float = 1e-4
+    # Fixed-iteration RANSAC replacing OpenCV's adaptive-iteration RANSAC
+    # (cv2.findHomography(method=RANSAC), reproj threshold 3.0).
+    ransac_iterations: int = 256
+    ransac_reproj_threshold: float = 3.0
+    ransac_seed: int = 0
+    # Gauss-Newton refinement iterations for least-squares homographies
+    # (OpenCV refines with an LM solver capped at 10 iterations).
+    homography_refine_iterations: int = 10
+
+    def __post_init__(self):
+        if self.mesh_row_count < 1 or self.mesh_col_count < 1:
+            raise ValueError("mesh dimensions must be positive")
+        if self.temporal_smoothing_radius < 1:
+            raise ValueError("temporal_smoothing_radius must be positive")
+
+    # --- derived static geometry ---------------------------------------
+    @property
+    def vertex_rows(self) -> int:
+        return self.mesh_row_count + 1
+
+    @property
+    def vertex_cols(self) -> int:
+        return self.mesh_col_count + 1
+
+    @property
+    def num_vertices(self) -> int:
+        return self.vertex_rows * self.vertex_cols
+
+    @property
+    def num_subframes(self) -> int:
+        return (
+            self.mesh_outlier_subframe_row_count
+            * self.mesh_outlier_subframe_col_count
+        )
+
+    @property
+    def max_features_per_frame(self) -> int:
+        return self.num_subframes * self.max_features_per_subframe
+
+    def subframe_shape(self, frame_height: int, frame_width: int) -> Tuple[int, int]:
+        """(height, width) of a subframe, matching the reference's ceil split
+        (/root/reference/meshflowstabilizer.py:493-494)."""
+        return (
+            math.ceil(frame_height / self.mesh_outlier_subframe_row_count),
+            math.ceil(frame_width / self.mesh_outlier_subframe_col_count),
+        )
+
+    def lk_max_level(self, frame_height: int, frame_width: int) -> int:
+        """Effective pyramid max level for LK tracking.
+
+        The reference tracks within subframes, so OpenCV's
+        buildOpticalFlowPyramid clamps maxLevel based on the *subframe*
+        size: a level is usable only while both dimensions exceed the LK
+        window.  We reproduce that clamp from the subframe geometry even
+        though our tracker samples whole-frame pyramids.
+        """
+        sub_h, sub_w = self.subframe_shape(frame_height, frame_width)
+        level = 0
+        h, w = sub_h, sub_w
+        while level < self.lk_max_level_cap:
+            h, w = (h + 1) // 2, (w + 1) // 2
+            if h <= self.lk_window_size or w <= self.lk_window_size:
+                break
+            level += 1
+        return level
+
+
+def validate_adaptive_weights_definition(adaptive_weights_definition: int) -> None:
+    """Raise the reference's ValueError for invalid variants
+    (/root/reference/meshflowstabilizer.py:136-146)."""
+    if adaptive_weights_definition not in _VALID_DEFINITIONS:
+        raise ValueError(
+            "Invalid value for `adaptive_weights_definition`. Expecting value of "
+            "`MeshFlowStabilizer.ADAPTIVE_WEIGHTS_DEFINITION_ORIGINAL`, "
+            "`MeshFlowStabilizer.ADAPTIVE_WEIGHTS_DEFINITION_FLIPPED`, "
+            "`MeshFlowStabilizer.ADAPTIVE_WEIGHTS_DEFINITION_CONSTANT_HIGH`, or"
+            "`MeshFlowStabilizer.ADAPTIVE_WEIGHTS_DEFINITION_CONSTANT_LOW`."
+        )
