@@ -62,8 +62,10 @@ class MeshFlowConfig:
     # defaults (threshold=10, nonmaxSuppression=True, TYPE_9_16).
     fast_threshold: int = 10
     # Fixed per-subframe feature capacity (top-K by FAST score).  OpenCV
-    # returns ragged keypoint lists; a TPU needs a static shape.
-    max_features_per_subframe: int = 256
+    # returns ragged keypoint lists; a TPU needs a static shape.  512 covers
+    # the densest subframes of the reference demo suite (~130 mean, a few
+    # hundred peak corners per 160x90 subframe).
+    max_features_per_subframe: int = 512
     # Lucas-Kanade parameters: OpenCV calcOpticalFlowPyrLK defaults are
     # winSize=(21,21), maxLevel=3, criteria=(30 iters, eps=0.01).  The
     # effective pyramid depth is derived from the subframe size the way
