@@ -1,0 +1,318 @@
+"""Pyramidal Lucas-Kanade sparse feature tracking, gather-free.
+
+TPU-native replacement for ``cv2.calcOpticalFlowPyrLK`` with OpenCV's
+defaults (winSize 21x21, maxLevel clamped by image size, criteria 30
+iterations / eps 0.01, minEigThreshold 1e-4), used by the reference at
+/root/reference/meshflowstabilizer.py:618-620.
+
+Semantics reproduced from OpenCV's lkpyramid tracker:
+
+* Scharr 3x3 derivatives (/32) of the previous level, REFLECT_101 borders.
+* The spatial gradient matrix A is built once per level from the previous
+  image's window around the (fixed) scaled prev point; iterations update
+  only the next point via delta = -A^{-1} b with b from the current
+  photometric difference.
+* Iterations stop on |delta|^2 <= eps^2 or the oscillation check
+  (|delta + prev_delta| < 0.01 componentwise -> back off half a step).
+* status goes 0 only at level 0: window corner out of logical bounds, or
+  minEig/winArea below threshold (in OpenCV's fixed-point scaling), or
+  degenerate det.
+* Windows may sample up to winSize outside the image; image levels are
+  REFLECT_101-padded, derivative levels zero-padded, as in
+  buildOpticalFlowPyramid.
+
+TPU mapping: XLA gathers (vmapped dynamic_slice) run ~30x slower than MXU
+matmuls for this access pattern, so every window/patch read is expressed as
+a pair of batched matmuls against sparse row/column selection matrices that
+carry the bilinear weights (two nonzeros per row).  Per level:
+
+1. prev windows (image, gx, gy) come straight off the padded full level via
+   bilinear selection matmuls — computed once, like OpenCV;
+2. a (PATCH_H, PATCH_W) region of the next level is extracted around each
+   feature's initial estimate (integer selection matmuls) — once;
+3. each solver iteration samples its 21x21 window from that VMEM-sized
+   patch with bilinear selection matmuls, so the while_loop body is pure
+   MXU/VPU work with no gathers.
+
+Divergence from OpenCV: if an iterate wanders more than the patch margin
+(+-17 px vertically, +-21 px horizontally at a single level) from its
+initial estimate, sampling clamps to the patch edge instead of re-reading
+the image.  Such tracks are almost always lost/garbage anyway; parity is
+gated on end metrics.
+
+OpenCV's int16/Q5 window quantization is replaced by float32, which moves
+endpoints by ~1e-2 px; oracle tests are tolerance-based.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+# Selection matmuls run at Precision.HIGH (bf16_3x passes): ~1e-6 relative
+# accuracy at ~3x the throughput of native-f32 (HIGHEST) on the MXU.
+_SEL_PRECISION = jax.lax.Precision.HIGH
+
+_PAD = 22  # window corner may lie in [-21, cols-1]; reads span +-(21+1)
+_PATCH_H = 56  # next-image patch: 22 + 2*17 vertical margin
+_PATCH_W = 64  # 22 + 2*21 horizontal margin
+_MARGIN_Y = (_PATCH_H - 22) // 2
+_MARGIN_X = (_PATCH_W - 22) // 2
+
+
+def scharr_deriv(img: jnp.ndarray):
+    """Scharr x/y derivatives / 32, REFLECT_101 border.  img: (..., H, W)."""
+    p = jnp.pad(img, [(0, 0)] * (img.ndim - 2) + [(1, 1), (1, 1)], mode="reflect")
+    h, w = img.shape[-2], img.shape[-1]
+
+    def win(dy, dx):
+        return p[..., 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+
+    gx = (
+        3.0 * (win(-1, 1) - win(-1, -1))
+        + 10.0 * (win(0, 1) - win(0, -1))
+        + 3.0 * (win(1, 1) - win(1, -1))
+    ) * (1.0 / 32.0)
+    gy = (
+        3.0 * (win(1, -1) - win(-1, -1))
+        + 10.0 * (win(1, 0) - win(-1, 0))
+        + 3.0 * (win(1, 1) - win(-1, 1))
+    ) * (1.0 / 32.0)
+    return gx, gy
+
+
+class PaddedLevel(NamedTuple):
+    """One pyramid level prepared for window sampling.
+
+    The logical level shape is recovered as shape[-2:] - 2*_PAD, keeping
+    this pytree all-array so it vmaps over a frame axis cleanly.
+    """
+
+    image: jnp.ndarray  # (..., H+2P, W+2P) REFLECT_101-padded image
+    gx: jnp.ndarray  # (..., H+2P, W+2P) zero-padded Scharr d/dx
+    gy: jnp.ndarray  # (..., H+2P, W+2P) zero-padded Scharr d/dy
+
+
+def prepare_level(level_img: jnp.ndarray) -> PaddedLevel:
+    """Pad a (..., H, W) level and attach derivatives."""
+    # REFLECT_101 cannot pad more than size-1 at once; do it in chunks.
+    img = level_img
+    remaining = _PAD
+    while remaining > 0:
+        step = min(remaining, min(img.shape[-2], img.shape[-1]) - 1)
+        img = jnp.pad(
+            img, [(0, 0)] * (img.ndim - 2) + [(step, step), (step, step)],
+            mode="reflect",
+        )
+        remaining -= step
+    gx, gy = scharr_deriv(level_img)
+    zpad = [(0, 0)] * (level_img.ndim - 2) + [(_PAD, _PAD), (_PAD, _PAD)]
+    return PaddedLevel(image=img, gx=jnp.pad(gx, zpad), gy=jnp.pad(gy, zpad))
+
+
+def _selection_int(idx0: jnp.ndarray, win: int, size: int) -> jnp.ndarray:
+    """(N, win, size) one-hot rows: out[n, r, i] = [i == idx0_n + r].
+
+    idx0 indexes the PADDED axis (caller adds _PAD and clamps).
+    """
+    i = jnp.arange(size, dtype=jnp.int32)
+    target = idx0[:, None] + jnp.arange(win, dtype=jnp.int32)[None, :]
+    return (i[None, None, :] == target[:, :, None]).astype(jnp.float32)
+
+
+def _selection_bilinear(
+    idx0: jnp.ndarray, frac: jnp.ndarray, win: int, size: int
+) -> jnp.ndarray:
+    """(N, win, size) bilinear selection rows:
+    out[n, r, i] = (1-frac_n)[i == idx0_n + r] + frac_n[i == idx0_n + r + 1]."""
+    i = jnp.arange(size, dtype=jnp.int32)
+    target = idx0[:, None] + jnp.arange(win, dtype=jnp.int32)[None, :]
+    lo = (i[None, None, :] == target[:, :, None]).astype(jnp.float32)
+    hi = (i[None, None, :] == (target + 1)[:, :, None]).astype(jnp.float32)
+    return (1.0 - frac)[:, None, None] * lo + frac[:, None, None] * hi
+
+
+def _apply_selection(
+    rows: jnp.ndarray, cols: jnp.ndarray, imgs: jnp.ndarray
+) -> jnp.ndarray:
+    """windows[c, n] = rows[n] @ imgs[c] @ cols[n]^T.
+
+    rows: (N, wr, H); cols: (N, wc, W); imgs: (C, H, W) ->
+    (C, N, wr, wc).  Two batched MXU contractions; no gathers.
+    """
+    n, wr, h = rows.shape
+    c = imgs.shape[0]
+    tmp = jax.lax.dot_general(
+        rows.reshape(n * wr, h), imgs,
+        (((1,), (1,)), ((), ())),
+        precision=_SEL_PRECISION,
+    )  # (N*wr, C, W)
+    tmp = tmp.reshape(n, wr, c, -1).transpose(2, 0, 1, 3)  # (C, N, wr, W)
+    out = jax.lax.dot_general(
+        tmp, cols,
+        (((3,), (2,)), ((1,), (0,))),
+        precision=_SEL_PRECISION,
+    )  # (N, C, wr, wc)
+    return out.transpose(1, 0, 2, 3)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("win_size", "max_iters", "eps", "min_eig_threshold")
+)
+def lk_track(
+    prev_levels: Sequence[PaddedLevel],
+    next_levels: Sequence[PaddedLevel],
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    win_size: int = 21,
+    max_iters: int = 30,
+    eps: float = 0.01,
+    min_eig_threshold: float = 1e-4,
+):
+    """Track points from the prev pyramid into the next pyramid.
+
+    points: (N, 2) float32 [x, y] at level 0; valid: (N,) bool.
+    Returns (next_points (N, 2) float32, status (N,) bool).  Invalid input
+    slots come back with status False and their input position.
+    """
+    half = (win_size - 1) * 0.5
+    max_level = len(prev_levels) - 1
+    eps2 = eps * eps
+    win_area = float(win_size * win_size)
+    # OpenCV accumulates with Scharr values (32x gradient) and FLT_SCALE
+    # 2^-20; with true-unit gradients our A is 1024x OpenCV's.
+    cv_scale = 1.0 / 1024.0
+
+    status = valid
+    next_pts = points / (2.0**max_level)
+
+    for level in range(max_level, -1, -1):
+        plevel = prev_levels[level]
+        nlevel = next_levels[level]
+        rows = plevel.image.shape[-2] - 2 * _PAD
+        cols = plevel.image.shape[-1] - 2 * _PAD
+        hpad = rows + 2 * _PAD
+        wpad = cols + 2 * _PAD
+        prev_pts_l = points / (2.0**level) - half
+        if level != max_level:
+            next_pts = next_pts * 2.0
+        next_corner = next_pts - half
+
+        ipx = jnp.floor(prev_pts_l[:, 0])
+        ipy = jnp.floor(prev_pts_l[:, 1])
+        a = prev_pts_l[:, 0] - ipx
+        b = prev_pts_l[:, 1] - ipy
+        ipx = ipx.astype(jnp.int32)
+        ipy = ipy.astype(jnp.int32)
+
+        in_bounds_prev = (
+            (ipx >= -win_size) & (ipx < cols) & (ipy >= -win_size) & (ipy < rows)
+        )
+
+        # --- prev windows: bilinear selection matmuls off the full level ---
+        ipy_c = jnp.clip(ipy + _PAD, 0, hpad - (win_size + 1))
+        ipx_c = jnp.clip(ipx + _PAD, 0, wpad - (win_size + 1))
+        sel_rows = _selection_bilinear(ipy_c, b, win_size, hpad)
+        sel_cols = _selection_bilinear(ipx_c, a, win_size, wpad)
+        prev_imgs = jnp.stack([plevel.image, plevel.gx, plevel.gy])
+        iwin, gxwin, gywin = _apply_selection(sel_rows, sel_cols, prev_imgs)
+
+        a11 = jnp.sum(gxwin * gxwin, axis=(1, 2))
+        a12 = jnp.sum(gxwin * gywin, axis=(1, 2))
+        a22 = jnp.sum(gywin * gywin, axis=(1, 2))
+
+        a11c, a12c, a22c = a11 * cv_scale, a12 * cv_scale, a22 * cv_scale
+        det = a11c * a22c - a12c * a12c
+        min_eig = (
+            a22c + a11c - jnp.sqrt((a11c - a22c) ** 2 + 4.0 * a12c * a12c)
+        ) / (2.0 * win_area)
+        well_posed = (min_eig >= min_eig_threshold) & (det >= 1.19209290e-07)
+
+        active0 = valid & in_bounds_prev & well_posed
+        if level == 0:
+            status = status & in_bounds_prev & well_posed
+
+        inv_det = jnp.where(det == 0, 0.0, 1.0 / det)
+
+        # --- next-image patch around the initial estimate, once ------------
+        patch_y0 = jnp.floor(next_corner[:, 1]).astype(jnp.int32) - _MARGIN_Y
+        patch_x0 = jnp.floor(next_corner[:, 0]).astype(jnp.int32) - _MARGIN_X
+        patch_y0 = jnp.clip(patch_y0 + _PAD, 0, hpad - _PATCH_H)
+        patch_x0 = jnp.clip(patch_x0 + _PAD, 0, wpad - _PATCH_W)
+        prow = _selection_int(patch_y0, _PATCH_H, hpad)
+        pcol = _selection_int(patch_x0, _PATCH_W, wpad)
+        jpatch = _apply_selection(prow, pcol, nlevel.image[None])[0]
+        # (N, PATCH_H, PATCH_W)
+
+        def iter_cond(state):
+            j, _, active, _, _ = state
+            return (j < max_iters) & jnp.any(active)
+
+        def iter_body(state):
+            j, corner, active, prev_delta, st = state
+            icx = jnp.floor(corner[:, 0])
+            icy = jnp.floor(corner[:, 1])
+            fa = corner[:, 0] - icx
+            fb = corner[:, 1] - icy
+            icx = icx.astype(jnp.int32)
+            icy = icy.astype(jnp.int32)
+            inb = (
+                (icx >= -win_size) & (icx < cols) & (icy >= -win_size) & (icy < rows)
+            )
+            if level == 0:
+                st = st & (inb | ~active)
+            still = active & inb
+
+            # window offset within the per-feature patch (clamped: see
+            # module docstring on the patch-margin divergence)
+            oy = jnp.clip(icy + _PAD - patch_y0, 0, _PATCH_H - (win_size + 1))
+            ox = jnp.clip(icx + _PAD - patch_x0, 0, _PATCH_W - (win_size + 1))
+            wrow = _selection_bilinear(oy, fb, win_size, _PATCH_H)
+            wcol = _selection_bilinear(ox, fa, win_size, _PATCH_W)
+            tmp = jax.lax.dot_general(
+                wrow, jpatch, (((2,), (1,)), ((0,), (0,))),
+                precision=_SEL_PRECISION,
+            )  # (N, win, PATCH_W)
+            jwin = jax.lax.dot_general(
+                tmp, wcol, (((2,), (2,)), ((0,), (0,))),
+                precision=_SEL_PRECISION,
+            )  # (N, win, win)
+
+            diff = jwin - iwin
+            b1 = jnp.sum(diff * gxwin, axis=(1, 2)) * cv_scale
+            b2 = jnp.sum(diff * gywin, axis=(1, 2)) * cv_scale
+            dx = (a12c * b2 - a22c * b1) * inv_det
+            dy = (a12c * b1 - a11c * b2) * inv_det
+            delta = jnp.stack([dx, dy], axis=-1)
+
+            new_corner = jnp.where(still[:, None], corner + delta, corner)
+
+            converged = jnp.sum(delta * delta, axis=-1) <= eps2
+            oscillating = (j > 0) & (
+                (jnp.abs(delta[:, 0] + prev_delta[:, 0]) < 0.01)
+                & (jnp.abs(delta[:, 1] + prev_delta[:, 1]) < 0.01)
+            )
+            new_corner = jnp.where(
+                (still & oscillating)[:, None], new_corner - delta * 0.5, new_corner
+            )
+            new_active = still & ~converged & ~oscillating
+            return j + 1, new_corner, new_active, delta, st
+
+        _, next_corner, _, _, status = jax.lax.while_loop(
+            iter_cond,
+            iter_body,
+            (
+                jnp.asarray(0, jnp.int32),
+                next_corner,
+                active0,
+                jnp.zeros_like(next_corner),
+                status,
+            ),
+        )
+        next_pts = next_corner + half
+
+    out_pts = jnp.where(valid[:, None], next_pts, points)
+    return out_pts, status & valid

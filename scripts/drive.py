@@ -64,6 +64,40 @@ def main():
             ref_count += len(det.detect(frames[0][sy:sy+sub_h, sx:sx+sub_w]))
     print(f"frame 0: ours={int(per_frame[0])} opencv={ref_count}")
 
+    # --- LK tracking frame 0 -> 1 -------------------------------------
+    from meshflow_tpu.kernels.lk import lk_track, prepare_level
+    from meshflow_tpu.kernels.pyramid import build_pyramid
+
+    max_level = config.lk_max_level(h, w)
+    grayf = gray.astype(jnp.float32)
+    pyr0 = tuple(prepare_level(l[0]) for l in build_pyramid(grayf, max_level))
+    pyr1 = tuple(prepare_level(l[1]) for l in build_pyramid(grayf, max_level))
+    pts = kps.positions[0].reshape(-1, 2)
+    vmask = kps.valid[0].reshape(-1)
+    t0 = time.perf_counter()
+    tracked, status = lk_track(pyr0, pyr1, pts, vmask)
+    status.block_until_ready()
+    t1 = time.perf_counter()
+    tracked, status = lk_track(pyr0, pyr1, pts, vmask)
+    status.block_until_ready()
+    t2 = time.perf_counter()
+    st = np.asarray(status)
+    flow = np.asarray(tracked)[st] - np.asarray(pts)[st]
+    print(
+        f"LK: tracked {st.sum()}/{int(np.asarray(vmask).sum())} features, "
+        f"median flow ({np.median(flow[:,0]):+.2f}, {np.median(flow[:,1]):+.2f}) px "
+        f"(compile {t1-t0:.1f}s, steady {1000*(t2-t1):.1f}ms)"
+    )
+    g0 = np.asarray(gray[0])
+    g1 = np.asarray(gray[1])
+    cvpts = np.asarray(pts)[np.asarray(vmask)][:, None, :]
+    nxt, stcv, _ = cv2.calcOpticalFlowPyrLK(g0, g1, cvpts, None, maxLevel=max_level)
+    cvflow = nxt[stcv.flatten() == 1, 0] - cvpts[stcv.flatten() == 1, 0]
+    print(
+        f"LK opencv cross-check: {int(stcv.sum())} tracked, "
+        f"median flow ({np.median(cvflow[:,0]):+.2f}, {np.median(cvflow[:,1]):+.2f}) px"
+    )
+
 
 if __name__ == "__main__":
     main()
