@@ -112,6 +112,65 @@ def dlt_homography(
     return h / safe
 
 
+def unit_square_to_quad(quad: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form projective map from the unit square to a quad.
+
+    quad: (..., 4, 2) corners ordered [(0,0), (1,0), (0,1), (1,1)] ->
+    (..., 3, 3).  Heckbert's formula; for parallelogram (affine) quads the
+    perspective terms vanish identically, so rectangles map exactly —
+    which the SVD-based DLT cannot guarantee in float32.
+    """
+    a, b, c, d = quad[..., 0, :], quad[..., 1, :], quad[..., 2, :], quad[..., 3, :]
+    sigma = a - b - c + d
+    d1 = b - d
+    d2 = c - d
+    den = d1[..., 0] * d2[..., 1] - d1[..., 1] * d2[..., 0]
+    den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+    g = (sigma[..., 0] * d2[..., 1] - sigma[..., 1] * d2[..., 0]) / den
+    h = (d1[..., 0] * sigma[..., 1] - d1[..., 1] * sigma[..., 0]) / den
+    row0 = jnp.stack(
+        [b[..., 0] - a[..., 0] + g * b[..., 0],
+         c[..., 0] - a[..., 0] + h * c[..., 0],
+         a[..., 0]], axis=-1)
+    row1 = jnp.stack(
+        [b[..., 1] - a[..., 1] + g * b[..., 1],
+         c[..., 1] - a[..., 1] + h * c[..., 1],
+         a[..., 1]], axis=-1)
+    row2 = jnp.stack([g, h, jnp.ones_like(g)], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def adjugate3(m: jnp.ndarray) -> jnp.ndarray:
+    """Adjugate of (..., 3, 3): inverse up to the (nonzero) determinant —
+    homographies are homogeneous, so the scale never matters."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    return jnp.stack(
+        [
+            jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e], axis=-1),
+            jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f], axis=-1),
+            jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def quad_to_quad_homography(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Exact homography mapping src quad corners onto dst quad corners.
+
+    src, dst: (..., 4, 2) ordered [tl, tr, bl, br].  Replaces
+    cv2.findHomography for the per-mesh-cell case
+    (/root/reference/meshflowstabilizer.py:1041-1042): closed form, exact
+    for rectangles, no iterative solve — vmaps over cells x frames freely.
+    Result is homogeneous (not normalized to H22 = 1).
+    """
+    return jnp.matmul(
+        unit_square_to_quad(dst), adjugate3(unit_square_to_quad(src)),
+        precision=_HIGHEST,
+    )
+
+
 def _similarity_inverse(t: jnp.ndarray) -> jnp.ndarray:
     """Closed-form inverse of a Hartley normalization matrix
     [[s, 0, tx], [0, s, ty], [0, 0, 1]]."""

@@ -1,0 +1,364 @@
+"""Mesh warping, crop detection, and crop+resize (the reference's L5).
+
+Rebuilds /root/reference/meshflowstabilizer.py:909-1157 with the 256x
+redundancy removed.  The reference, per frame and per mesh cell, warps a
+full-frame mask and perspective-transforms ALL HxW pixels through the
+cell's inverse homography, compositing with later-cell-wins ordering
+(:1031-1061) — O(F * cells * H * W).  Here each output pixel finds its one
+containing cell directly:
+
+1. Per cell, the stabilized->unstabilized homography comes from the 4
+   corner pairs in closed form (quad_to_quad_homography; the reference
+   calls cv2.findHomography per cell per frame at :1041-1042).
+2. Per pixel p, a fixed-point iteration q <- Hinv_{cell(q)}(p) locates the
+   candidate cell; cell(q) is pure arithmetic because the unstabilized
+   grid lines are ceil((dim-1)*i/count) (:901-906) — no lookups.
+3. A 3x3 candidate pass reproduces the reference's compositing semantics:
+   membership means Hinv_c(p) lands strictly inside the cell's integer
+   bbox expanded by 1 px (the bilinear support of its warped rect mask,
+   :1050-1052), and the highest row-major cell index wins (:1060-1061
+   overwrite order).  Uncovered pixels keep the sentinel map value
+   (W+1, H+1) (:983-984) and render as border color.
+4. Homography applications per cell id are one-hot matmuls (MXU), not
+   gathers; only the final image sampling uses a 4-tap gather.
+
+Crop-edge detection (:1075-1106) and the anisotropic crop+resize
+(:1111-1157, where cv2.resize's dsize makes the fx/fy aspect logic dead
+code) are reductions and a coordinate-remapped bilinear sample — no
+dynamic shapes anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from meshflow_tpu.config import MeshFlowConfig
+from meshflow_tpu.kernels.homography import quad_to_quad_homography
+
+_SEL_PRECISION = jax.lax.Precision.HIGH
+
+
+def cell_inverse_homographies(
+    stab_pos: jnp.ndarray, unstab_grid: jnp.ndarray, config: MeshFlowConfig
+) -> jnp.ndarray:
+    """(cells, 3, 3) stabilized->unstabilized homography per mesh cell.
+
+    stab_pos/unstab_grid: (R+1, C+1, 2).  Cell (r, c) uses its 4 corners in
+    the same order the reference passes them to cv2.findHomography.
+    """
+    r_count, c_count = config.mesh_row_count, config.mesh_col_count
+
+    def corners(pos):
+        tl = pos[:-1, :-1]
+        tr = pos[:-1, 1:]
+        bl = pos[1:, :-1]
+        br = pos[1:, 1:]
+        return jnp.stack([tl, tr, bl, br], axis=2).reshape(r_count * c_count, 4, 2)
+
+    stab_c = corners(stab_pos)
+    unstab_c = corners(unstab_grid)
+    return quad_to_quad_homography(stab_c, unstab_c)
+
+
+def _grid_line_x(c, frame_width, mesh_col_count):
+    """ceil((W-1) * c / C) as integer arithmetic (works on arrays)."""
+    return -(-((frame_width - 1) * c) // mesh_col_count)
+
+
+def _grid_line_y(r, frame_height, mesh_row_count):
+    return -(-((frame_height - 1) * r) // mesh_row_count)
+
+
+def _apply_h_table(
+    cell_ids: jnp.ndarray, h_table: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray
+):
+    """Apply per-pixel cell homographies via one-hot MXU contraction.
+
+    cell_ids: (P,) int32 in [0, cells); h_table: (cells, 3, 3);
+    px, py: (P,) pixel coords.  Returns (qx, qy): (P,).
+    """
+    cells = h_table.shape[0]
+    onehot = (
+        cell_ids[:, None] == jnp.arange(cells, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
+    hflat = jax.lax.dot_general(
+        onehot, h_table.reshape(cells, 9), (((1,), (0,)), ((), ())),
+        precision=_SEL_PRECISION,
+    )  # (P, 9)
+    d = hflat[:, 6] * px + hflat[:, 7] * py + hflat[:, 8]
+    d = jnp.where(jnp.abs(d) < 1e-10, 1e-10, d)
+    qx = (hflat[:, 0] * px + hflat[:, 1] * py + hflat[:, 2]) / d
+    qy = (hflat[:, 3] * px + hflat[:, 4] * py + hflat[:, 5]) / d
+    return qx, qy
+
+
+class BackwardMap(NamedTuple):
+    map_x: jnp.ndarray  # (H, W) float32 source x (sentinel W+1 if uncovered)
+    map_y: jnp.ndarray  # (H, W) float32 source y (sentinel H+1 if uncovered)
+    covered: jnp.ndarray  # (H, W) bool
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "frame_height", "frame_width")
+)
+def backward_map(
+    stab_pos: jnp.ndarray,
+    unstab_grid: jnp.ndarray,
+    config: MeshFlowConfig,
+    frame_height: int,
+    frame_width: int,
+) -> BackwardMap:
+    """Per-pixel stabilized->unstabilized map for one frame."""
+    rc, cc = config.mesh_row_count, config.mesh_col_count
+    h_table = cell_inverse_homographies(stab_pos, unstab_grid, config)
+
+    ys = jnp.arange(frame_height, dtype=jnp.float32)
+    xs = jnp.arange(frame_width, dtype=jnp.float32)
+    px = jnp.tile(xs[None, :], (frame_height, 1)).reshape(-1)
+    py = jnp.tile(ys[:, None], (1, frame_width)).reshape(-1)
+
+    def cell_of(qx, qy):
+        # index of the last grid line <= q, clamped to a valid cell
+        jx = jnp.arange(1, cc, dtype=jnp.int32)
+        lines_x = _grid_line_x(jx, frame_width, cc).astype(jnp.float32)
+        jy = jnp.arange(1, rc, dtype=jnp.int32)
+        lines_y = _grid_line_y(jy, frame_height, rc).astype(jnp.float32)
+        col = jnp.sum(
+            (qx[:, None] >= lines_x[None, :]).astype(jnp.int32), axis=1
+        )
+        row = jnp.sum(
+            (qy[:, None] >= lines_y[None, :]).astype(jnp.int32), axis=1
+        )
+        return (
+            jnp.clip(row, 0, rc - 1),
+            jnp.clip(col, 0, cc - 1),
+        )
+
+    # Fixed-point cell search.
+    qx, qy = px, py
+    for _ in range(3):
+        row, col = cell_of(qx, qy)
+        qx, qy = _apply_h_table(row * cc + col, h_table, px, py)
+    row0, col0 = cell_of(qx, qy)
+
+    # Candidate pass: 3x3 neighborhood, reference mask semantics
+    # (strictly inside the integer bbox expanded by 1), last row-major wins.
+    best_key = jnp.full(px.shape, -1, jnp.int32)
+    best_qx = jnp.full(px.shape, float(frame_width + 1), jnp.float32)
+    best_qy = jnp.full(px.shape, float(frame_height + 1), jnp.float32)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            row = jnp.clip(row0 + dr, 0, rc - 1)
+            col = jnp.clip(col0 + dc, 0, cc - 1)
+            cqx, cqy = _apply_h_table(row * cc + col, h_table, px, py)
+            left = _grid_line_x(col, frame_width, cc).astype(jnp.float32)
+            right = _grid_line_x(col + 1, frame_width, cc).astype(jnp.float32)
+            top = _grid_line_y(row, frame_height, rc).astype(jnp.float32)
+            bottom = _grid_line_y(row + 1, frame_height, rc).astype(jnp.float32)
+            member = (
+                (cqx > left - 1.0)
+                & (cqx < right + 1.0)
+                & (cqy > top - 1.0)
+                & (cqy < bottom + 1.0)
+            )
+            key = row * cc + col
+            take = member & (key > best_key)
+            best_key = jnp.where(take, key, best_key)
+            best_qx = jnp.where(take, cqx, best_qx)
+            best_qy = jnp.where(take, cqy, best_qy)
+
+    covered = best_key >= 0
+    return BackwardMap(
+        map_x=best_qx.reshape(frame_height, frame_width),
+        map_y=best_qy.reshape(frame_height, frame_width),
+        covered=covered.reshape(frame_height, frame_width),
+    )
+
+
+def bilinear_sample(
+    frame: jnp.ndarray,
+    sample_x: jnp.ndarray,
+    sample_y: jnp.ndarray,
+    border_bgr=None,
+):
+    """Bilinear sample of (H, W, C) uint8 frame at float coords.
+
+    border_bgr None -> taps clamp to the edge (cv2.resize semantics);
+    otherwise out-of-image taps contribute the border color (cv2.remap
+    INTER_LINEAR + BORDER_CONSTANT, /root/reference/meshflowstabilizer.py:1063-1069).
+    Returns float32 (..., C).
+    """
+    h, w, c = frame.shape
+    img = frame.astype(jnp.float32).reshape(h * w, c)
+    x0 = jnp.floor(sample_x)
+    y0 = jnp.floor(sample_y)
+    fx = sample_x - x0
+    fy = sample_y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    out = 0.0
+    for dy in (0, 1):
+        for dx in (0, 1):
+            tx = x0i + dx
+            ty = y0i + dy
+            weight = (fx if dx else (1.0 - fx)) * (fy if dy else (1.0 - fy))
+            inside = (tx >= 0) & (tx < w) & (ty >= 0) & (ty < h)
+            txc = jnp.clip(tx, 0, w - 1)
+            tyc = jnp.clip(ty, 0, h - 1)
+            vals = jnp.take(img, tyc * w + txc, axis=0)  # (..., C)
+            if border_bgr is not None:
+                border = jnp.asarray(border_bgr, jnp.float32)
+                vals = jnp.where(inside[..., None], vals, border)
+            out = out + weight[..., None] * vals
+    return out
+
+
+def warp_frame(
+    frame: jnp.ndarray, bmap: BackwardMap, border_bgr
+) -> jnp.ndarray:
+    """Render one stabilized frame (uint8) from its backward map."""
+    sampled = bilinear_sample(
+        frame, bmap.map_x.reshape(-1), bmap.map_y.reshape(-1), border_bgr
+    )
+    border = jnp.asarray(border_bgr, jnp.float32)
+    sampled = jnp.where(bmap.covered.reshape(-1, 1), sampled, border)
+    h, w = bmap.map_x.shape
+    return (
+        jnp.clip(jnp.round(sampled), 0, 255).astype(jnp.uint8).reshape(h, w, 3)
+    )
+
+
+def crop_edges(bmap: BackwardMap, frame_height: int, frame_width: int):
+    """Per-frame crop edges, reference rules
+    (/root/reference/meshflowstabilizer.py:1075-1098): a stabilized column
+    matches a source edge when any backward-map entry is within 1 px of it;
+    defaults are the full frame."""
+    cols = jnp.arange(frame_width, dtype=jnp.int32)
+    rows = jnp.arange(frame_height, dtype=jnp.int32)
+
+    def col_extreme(match, default, reduce_max):
+        any_col = jnp.any(match, axis=0)  # (W,)
+        if reduce_max:
+            vals = jnp.where(any_col, cols, -1)
+            best = jnp.max(vals)
+        else:
+            vals = jnp.where(any_col, cols, frame_width + 1)
+            best = jnp.min(vals)
+        found = jnp.any(any_col)
+        return jnp.where(found, best, default)
+
+    def row_extreme(match, default, reduce_max):
+        any_row = jnp.any(match, axis=1)  # (H,)
+        if reduce_max:
+            vals = jnp.where(any_row, rows, -1)
+            best = jnp.max(vals)
+        else:
+            vals = jnp.where(any_row, rows, frame_height + 1)
+            best = jnp.min(vals)
+        found = jnp.any(any_row)
+        return jnp.where(found, best, default)
+
+    left = col_extreme(jnp.abs(bmap.map_x) < 1.0, 0, True)
+    right = col_extreme(
+        jnp.abs(bmap.map_x - (frame_width - 1)) < 1.0, frame_width - 1, False
+    )
+    top = row_extreme(jnp.abs(bmap.map_y) < 1.0, 0, True)
+    bottom = row_extreme(
+        jnp.abs(bmap.map_y - (frame_height - 1)) < 1.0, frame_height - 1, False
+    )
+    return jnp.stack([left, top, right, bottom])
+
+
+def crop_resize_frame(
+    frame: jnp.ndarray, crop: jnp.ndarray, frame_height: int, frame_width: int
+) -> jnp.ndarray:
+    """Crop to [left, top, right, bottom] (inclusive) and stretch back to
+    (W, H) — cv2.resize INTER_LINEAR half-pixel semantics with edge clamp.
+    Dynamic crop values, static shapes: one coordinate-remapped sample.
+    """
+    left, top, right, bottom = crop[0], crop[1], crop[2], crop[3]
+    crop_w = (right - left + 1).astype(jnp.float32)
+    crop_h = (bottom - top + 1).astype(jnp.float32)
+    sx = crop_w / frame_width
+    sy = crop_h / frame_height
+    xs = (jnp.arange(frame_width, dtype=jnp.float32) + 0.5) * sx - 0.5
+    ys = (jnp.arange(frame_height, dtype=jnp.float32) + 0.5) * sy - 0.5
+    # clamp into the crop (resize never reads outside its source)
+    xs = jnp.clip(xs, 0.0, crop_w - 1.0) + left.astype(jnp.float32)
+    ys = jnp.clip(ys, 0.0, crop_h - 1.0) + top.astype(jnp.float32)
+    sample_x = jnp.tile(xs[None, :], (frame_height, 1)).reshape(-1)
+    sample_y = jnp.tile(ys[:, None], (1, frame_width)).reshape(-1)
+    out = bilinear_sample(frame, sample_x, sample_y, None)
+    return (
+        jnp.clip(jnp.round(out), 0, 255)
+        .astype(jnp.uint8)
+        .reshape(frame_height, frame_width, 3)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "frame_height", "frame_width")
+)
+def render_stabilized(
+    frames: jnp.ndarray,
+    unstab_disp: jnp.ndarray,
+    stab_disp: jnp.ndarray,
+    unstab_grid: jnp.ndarray,
+    config: MeshFlowConfig,
+    frame_height: int,
+    frame_width: int,
+):
+    """Warp all frames and compute the video crop rectangle.
+
+    frames: (F, H, W, 3) uint8; *_disp: (F, R+1, C+1, 2).
+    Returns (stabilized (F, H, W, 3) uint8, crop (4,) int32
+    [left, top, right, bottom]).
+    """
+    border = jnp.asarray(config.color_outside_image_area_bgr, jnp.float32)
+
+    def body(carry, inputs):
+        frame, du, ds = inputs
+        stab_pos = unstab_grid + (ds - du)
+        bmap = backward_map(
+            stab_pos, unstab_grid, config, frame_height, frame_width
+        )
+        stabilized = warp_frame(frame, bmap, border)
+        edges = crop_edges(bmap, frame_height, frame_width)
+        return carry, (stabilized, edges)
+
+    _, (stabilized, edges) = jax.lax.scan(
+        body, None, (frames, unstab_disp, stab_disp)
+    )
+    crop = jnp.stack(
+        [
+            jnp.max(edges[:, 0]),
+            jnp.max(edges[:, 1]),
+            jnp.min(edges[:, 2]),
+            jnp.min(edges[:, 3]),
+        ]
+    )
+    return stabilized, crop
+
+
+@functools.partial(
+    jax.jit, static_argnames=("frame_height", "frame_width")
+)
+def crop_frames(
+    stabilized: jnp.ndarray,
+    crop: jnp.ndarray,
+    frame_height: int,
+    frame_width: int,
+) -> jnp.ndarray:
+    """Crop+stretch all frames back to full resolution
+    (/root/reference/meshflowstabilizer.py:1111-1157)."""
+
+    def body(carry, frame):
+        return carry, crop_resize_frame(frame, crop, frame_height, frame_width)
+
+    _, out = jax.lax.scan(body, None, stabilized)
+    return out
