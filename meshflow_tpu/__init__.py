@@ -13,7 +13,16 @@ frame-axis sharding across chips, while preserving the reference's public API
     -> (cropping_ratio, distortion_score, stability_score)
 """
 
+import os as _os
+
 import jax as _jax
+
+# Some TPU plugins (e.g. the tunneled "axon" platform here) ignore the
+# JAX_PLATFORMS env var; the config flag is honored.  MESHFLOW_PLATFORM gives
+# users and subprocess tests a reliable backend override.
+_platform = _os.environ.get("MESHFLOW_PLATFORM")
+if _platform:
+    _jax.config.update("jax_platforms", _platform)
 
 # This JAX build lowers float32 matmuls/convolutions to bfloat16 inputs by
 # default (~1e-2 relative error).  This framework's FLOP-heavy work is

@@ -1,0 +1,231 @@
+"""Public API: the reference's MeshFlowStabilizer, TPU-native inside.
+
+Signature, constants, return tuple, and exception behavior match
+/root/reference/meshflowstabilizer.py:43-169; the implementation runs the
+eight-stage pipeline as batched device compute:
+
+1. host decode (io.video)                      — :148 / :172-213
+2. motion estimation scan (motion.pipeline)    — :149 / :236-284
+3. adaptive weights + banded Jacobi (solver)   — :150-153 / :632-878
+4. one-pass mesh warp + crop detect (render)   — :154-158 / :909-1108
+5. crop + stretch (render)                     — :159 / :1111-1157
+6. cropping ratio + distortion (metrics)       — :161 / :1160-1212
+7. stability score (metrics)                   — :162 / :1216-1259
+8. host encode (io.video)                      — :164 / :1290-1322
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from meshflow_tpu import config as cfg
+from meshflow_tpu.config import MeshFlowConfig, validate_adaptive_weights_definition
+from meshflow_tpu.io import video as video_io
+from meshflow_tpu.metrics.quality import (
+    cropping_and_distortion_scanned,
+    stability_score,
+)
+from meshflow_tpu.motion.pipeline import estimate_motion_chunked, prepare_frames
+from meshflow_tpu.render.stabilize import crop_frames, render_stabilized
+from meshflow_tpu.solver.jacobi import jacobi_smooth
+from meshflow_tpu.solver.weights import adaptive_weights
+from meshflow_tpu.utils import grid
+
+
+class MeshFlowStabilizer:
+    """Drop-in replacement for the reference class (same constructor
+    keywords, defaults, constants, and stabilize() contract)."""
+
+    ADAPTIVE_WEIGHTS_DEFINITION_ORIGINAL = cfg.ADAPTIVE_WEIGHTS_DEFINITION_ORIGINAL
+    ADAPTIVE_WEIGHTS_DEFINITION_FLIPPED = cfg.ADAPTIVE_WEIGHTS_DEFINITION_FLIPPED
+    ADAPTIVE_WEIGHTS_DEFINITION_CONSTANT_HIGH = (
+        cfg.ADAPTIVE_WEIGHTS_DEFINITION_CONSTANT_HIGH
+    )
+    ADAPTIVE_WEIGHTS_DEFINITION_CONSTANT_LOW = (
+        cfg.ADAPTIVE_WEIGHTS_DEFINITION_CONSTANT_LOW
+    )
+    ADAPTIVE_WEIGHTS_DEFINITION_CONSTANT_HIGH_VALUE = (
+        cfg.ADAPTIVE_WEIGHTS_DEFINITION_CONSTANT_HIGH_VALUE
+    )
+    ADAPTIVE_WEIGHTS_DEFINITION_CONSTANT_LOW_VALUE = (
+        cfg.ADAPTIVE_WEIGHTS_DEFINITION_CONSTANT_LOW_VALUE
+    )
+
+    def __init__(
+        self,
+        mesh_row_count=16,
+        mesh_col_count=16,
+        mesh_outlier_subframe_row_count=4,
+        mesh_outlier_subframe_col_count=4,
+        feature_ellipse_row_count=10,
+        feature_ellipse_col_count=10,
+        homography_min_number_corresponding_features=4,
+        temporal_smoothing_radius=10,
+        optimization_num_iterations=100,
+        color_outside_image_area_bgr=(0, 0, 255),
+        visualize=False,
+        config: MeshFlowConfig | None = None,
+        seed: int = 0,
+    ):
+        if config is None:
+            config = MeshFlowConfig(
+                mesh_row_count=mesh_row_count,
+                mesh_col_count=mesh_col_count,
+                mesh_outlier_subframe_row_count=mesh_outlier_subframe_row_count,
+                mesh_outlier_subframe_col_count=mesh_outlier_subframe_col_count,
+                feature_ellipse_row_count=feature_ellipse_row_count,
+                feature_ellipse_col_count=feature_ellipse_col_count,
+                homography_min_number_corresponding_features=(
+                    homography_min_number_corresponding_features
+                ),
+                temporal_smoothing_radius=temporal_smoothing_radius,
+                optimization_num_iterations=optimization_num_iterations,
+                color_outside_image_area_bgr=tuple(color_outside_image_area_bgr),
+                visualize=visualize,
+            )
+        self.config = config
+        self.visualize = config.visualize
+        self._key = jax.random.PRNGKey(seed)
+
+    # ------------------------------------------------------------------
+    def stabilize(
+        self,
+        input_path: str,
+        output_path: str,
+        adaptive_weights_definition: int = cfg.ADAPTIVE_WEIGHTS_DEFINITION_ORIGINAL,
+    ):
+        """Stabilize input_path -> output_path; returns
+        (cropping_ratio, distortion_score, stability_score)."""
+        validate_adaptive_weights_definition(adaptive_weights_definition)
+        config = self.config
+
+        frames_np, info = video_io.read_video(input_path)
+        num_frames, h, w = frames_np.shape[:3]
+        frames = jnp.asarray(frames_np)
+
+        result = self._stabilize_frames(frames, adaptive_weights_definition, h, w)
+        cropped, cropping_ratio, distortion_score, stability = result
+
+        cropped_np = np.asarray(cropped)
+        video_io.write_video(output_path, cropped_np, info.fps, info.fourcc)
+
+        if self.visualize:
+            self._display_loop(frames_np, cropped_np, info.fps)
+
+        return (
+            float(cropping_ratio),
+            float(distortion_score),
+            float(stability),
+        )
+
+    # ------------------------------------------------------------------
+    # Frame-axis chunk size: one compiled scan per (H, W, config) serves any
+    # clip length, per-call device time stays bounded, and high-resolution
+    # working sets never exceed a chunk.
+    CHUNK = 128
+
+    def _stabilize_frames(self, frames, adaptive_weights_definition, h, w):
+        """Device pipeline: (F, H, W, 3) uint8 -> (cropped frames, metrics)."""
+        config = self.config
+        num_frames = frames.shape[0]
+        # Short clips use one exact-size chunk (no padding waste); long
+        # clips amortize a single CHUNK-size compilation.
+        chunk = min(self.CHUNK, num_frames)
+        unstab_grid = jnp.asarray(grid.vertex_grid(config, h, w))
+
+        keypoints, gray8 = prepare_frames(frames, config)
+        motion = estimate_motion_chunked(
+            keypoints, gray8, jax.random.fold_in(self._key, 1), config, h, w,
+            chunk_pairs=max(chunk - 1, 1),
+        )
+
+        lambdas = adaptive_weights(
+            motion.homographies, w, h, adaptive_weights_definition
+        )
+        stab_disp = jacobi_smooth(
+            motion.displacements,
+            lambdas,
+            config.temporal_smoothing_radius,
+            config.optimization_num_iterations,
+        )
+
+        # Warp in fixed-size chunks; the video crop is the intersection of
+        # the per-chunk crops (/root/reference/meshflowstabilizer.py:1102-1106).
+        def pad_to(a, n):
+            padding = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, padding, mode="edge")
+
+        stabilized_chunks = []  # kept padded so crop_frames compiles once
+        crops = []
+        for start in range(0, num_frames, chunk):
+            stop = min(start + chunk, num_frames)
+            fr = pad_to(frames[start:stop], chunk)
+            du = pad_to(motion.displacements[start:stop], chunk)
+            ds = pad_to(stab_disp[start:stop], chunk)
+            stab_chunk, crop_chunk = render_stabilized(
+                fr, du, ds, unstab_grid, config, h, w
+            )
+            stabilized_chunks.append((stab_chunk, stop - start))
+            # padded frames replicate real ones, so they never tighten the
+            # crop beyond a real frame's value
+            crops.append(crop_chunk)
+        crops = jnp.stack(crops)
+        crop = jnp.stack(
+            [
+                jnp.max(crops[:, 0]),
+                jnp.max(crops[:, 1]),
+                jnp.min(crops[:, 2]),
+                jnp.min(crops[:, 3]),
+            ]
+        )
+        cropped_chunks = [
+            crop_frames(chunk_frames, crop, h, w)[:length]
+            for chunk_frames, length in stabilized_chunks
+        ]
+        cropped = jnp.concatenate(cropped_chunks, axis=0)
+
+        from meshflow_tpu.kernels.color import bgr_to_gray
+
+        cropped_gray8 = bgr_to_gray(cropped)
+        ratios = []
+        distortions = []
+        for start in range(0, num_frames, chunk):
+            stop = min(start + chunk, num_frames)
+            kps_c = jax.tree.map(lambda a: pad_to(a[start:stop], chunk), keypoints)
+            r, d = cropping_and_distortion_scanned(
+                kps_c,
+                pad_to(gray8[start:stop], chunk),
+                pad_to(cropped_gray8[start:stop], chunk),
+                jax.random.fold_in(self._key, 2 + start),
+                config,
+                h,
+                w,
+            )
+            ratios.append(r[: stop - start])
+            distortions.append(d[: stop - start])
+        ratios = jnp.concatenate(ratios)
+        distortions = jnp.concatenate(distortions)
+        cropping_ratio = jnp.mean(ratios)
+        distortion_score = jnp.min(distortions)
+
+        stability = stability_score(stab_disp)
+        return cropped, cropping_ratio, distortion_score, stability
+
+    # ------------------------------------------------------------------
+    def _display_loop(self, unstabilized, cropped, fps):
+        """The reference's visualize loop
+        (/root/reference/meshflowstabilizer.py:1262-1287): unstabilized over
+        cropped, looping until Q."""
+        import cv2
+
+        ms_per_frame = int(1000 / fps) if fps > 0 else 33
+        while True:
+            for i in range(len(unstabilized)):
+                cv2.imshow(
+                    "unstabilized and stabilized video",
+                    np.vstack((unstabilized[i], cropped[i])),
+                )
+                if cv2.waitKey(ms_per_frame) & 0xFF == ord("q"):
+                    return

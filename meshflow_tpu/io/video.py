@@ -1,0 +1,123 @@
+"""Host-side video decode/encode.
+
+Mirrors the reference's container handling
+(/root/reference/meshflowstabilizer.py:172-233, :1290-1322): frame count,
+fps, and fourcc are read from the container and passed through to the
+writer; a short read raises IOError with the reference's message shape.
+
+The codec work is inherently host-bound (OpenCV's C++ videoio/ffmpeg
+backends); everything downstream of these functions lives on device.
+read_video can stream in chunks so decode overlaps device compute for long
+clips.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import cv2
+import numpy as np
+
+
+class VideoInfo:
+    def __init__(self, num_frames: int, fps: float, fourcc: int, height: int, width: int):
+        self.num_frames = num_frames
+        self.fps = fps
+        self.fourcc = fourcc
+        self.height = height
+        self.width = width
+
+
+def probe_video(input_path: str) -> VideoInfo:
+    video = cv2.VideoCapture(input_path)
+    if not video.isOpened():
+        video.release()
+        raise IOError(f"Could not open video at <{input_path}>.")
+    info = VideoInfo(
+        num_frames=int(video.get(cv2.CAP_PROP_FRAME_COUNT)),
+        fps=video.get(cv2.CAP_PROP_FPS),
+        fourcc=int(video.get(cv2.CAP_PROP_FOURCC)),
+        height=int(video.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+        width=int(video.get(cv2.CAP_PROP_FRAME_WIDTH)),
+    )
+    video.release()
+    return info
+
+
+def read_video(input_path: str) -> Tuple[np.ndarray, VideoInfo]:
+    """Decode the whole clip -> ((F, H, W, 3) uint8 BGR, VideoInfo)."""
+    video = cv2.VideoCapture(input_path)
+    if not video.isOpened():
+        video.release()
+        raise IOError(f"Could not open video at <{input_path}>.")
+    num_frames = int(video.get(cv2.CAP_PROP_FRAME_COUNT))
+    fps = video.get(cv2.CAP_PROP_FPS)
+    fourcc = int(video.get(cv2.CAP_PROP_FOURCC))
+    frames = []
+    for frame_index in range(num_frames):
+        ok, frame = video.read()
+        if not ok:
+            video.release()
+            raise IOError(
+                f"Video at <{input_path}> did not have frame {frame_index} of "
+                f"{num_frames} (indexed from 0)."
+            )
+        frames.append(frame)
+    video.release()
+    stacked = np.stack(frames) if frames else np.zeros((0, 0, 0, 3), np.uint8)
+    info = VideoInfo(
+        num_frames=num_frames,
+        fps=fps,
+        fourcc=fourcc,
+        height=stacked.shape[1] if num_frames else 0,
+        width=stacked.shape[2] if num_frames else 0,
+    )
+    return stacked, info
+
+
+def iter_video_chunks(
+    input_path: str, chunk_size: int
+) -> Iterator[np.ndarray]:
+    """Stream (chunk, H, W, 3) uint8 batches (last one may be short)."""
+    video = cv2.VideoCapture(input_path)
+    if not video.isOpened():
+        video.release()
+        raise IOError(f"Could not open video at <{input_path}>.")
+    buf = []
+    while True:
+        ok, frame = video.read()
+        if not ok:
+            break
+        buf.append(frame)
+        if len(buf) == chunk_size:
+            yield np.stack(buf)
+            buf = []
+    video.release()
+    if buf:
+        yield np.stack(buf)
+
+
+def write_video(
+    output_path: str, frames: np.ndarray, fps: float, fourcc: int
+) -> None:
+    """Encode (F, H, W, 3) uint8 BGR with the input's fourcc and fps.
+
+    The reference passes the input fourcc straight through
+    (/root/reference/meshflowstabilizer.py:1310-1315) and silently writes
+    nothing when that encoder is unavailable (cv2.VideoWriter does not
+    raise).  Defined behavior here: fall back to mp4v so an output always
+    exists, and raise if even that fails.
+    """
+    height, width = frames.shape[1:3]
+    writer = cv2.VideoWriter(output_path, fourcc, fps, (width, height))
+    if not writer.isOpened():
+        writer.release()
+        writer = cv2.VideoWriter(
+            output_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (width, height)
+        )
+    if not writer.isOpened():
+        writer.release()
+        raise IOError(f"Could not open a video encoder for <{output_path}>.")
+    for frame in frames:
+        writer.write(np.ascontiguousarray(frame))
+    writer.release()

@@ -135,7 +135,7 @@ def _selection_bilinear(
     return (1.0 - frac)[:, None, None] * lo + frac[:, None, None] * hi
 
 
-def _apply_selection(
+def _apply_selection_block(
     rows: jnp.ndarray, cols: jnp.ndarray, imgs: jnp.ndarray
 ) -> jnp.ndarray:
     """windows[c, n] = rows[n] @ imgs[c] @ cols[n]^T.
@@ -157,6 +157,55 @@ def _apply_selection(
         precision=_SEL_PRECISION,
     )  # (N, C, wr, wc)
     return out.transpose(1, 0, 2, 3)
+
+
+_SEL_CHUNK = 512  # bounds selection one-hots + row-stage intermediates
+
+
+def _extract_windows(
+    imgs: jnp.ndarray,
+    iy: jnp.ndarray,
+    ix: jnp.ndarray,
+    win_h: int,
+    win_w: int,
+    fy: jnp.ndarray | None = None,
+    fx: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """(C, N, win_h, win_w) windows at per-feature integer corners (iy, ix)
+    on the padded axes, with optional bilinear fractions (fy, fx).
+
+    Feature chunks are serialized with lax.map so both the selection
+    one-hots (N * win * dim floats) and the row-stage intermediates stay
+    ~100MB regardless of N or resolution.
+    """
+    hpad, wpad = imgs.shape[-2], imgs.shape[-1]
+    n = iy.shape[0]
+
+    def block(args):
+        biy, bix, bfy, bfx = args
+        if fy is None:
+            rows = _selection_int(biy, win_h, hpad)
+            cols = _selection_int(bix, win_w, wpad)
+        else:
+            rows = _selection_bilinear(biy, bfy, win_h, hpad)
+            cols = _selection_bilinear(bix, bfx, win_w, wpad)
+        return _apply_selection_block(rows, cols, imgs)
+
+    zeros = jnp.zeros_like(iy, jnp.float32)
+    fy_in = zeros if fy is None else fy
+    fx_in = zeros if fx is None else fx
+    if n <= _SEL_CHUNK or n % _SEL_CHUNK != 0:
+        return block((iy, ix, fy_in, fx_in))
+    chunks = n // _SEL_CHUNK
+
+    def reshape_c(a):
+        return a.reshape(chunks, _SEL_CHUNK, *a.shape[1:])
+
+    out = jax.lax.map(
+        block, (reshape_c(iy), reshape_c(ix), reshape_c(fy_in), reshape_c(fx_in))
+    )  # (chunks, C, chunk, wh, ww)
+    out = jnp.moveaxis(out, 1, 0)
+    return out.reshape(out.shape[0], n, win_h, win_w)
 
 
 @functools.partial(
@@ -215,10 +264,10 @@ def lk_track(
         # --- prev windows: bilinear selection matmuls off the full level ---
         ipy_c = jnp.clip(ipy + _PAD, 0, hpad - (win_size + 1))
         ipx_c = jnp.clip(ipx + _PAD, 0, wpad - (win_size + 1))
-        sel_rows = _selection_bilinear(ipy_c, b, win_size, hpad)
-        sel_cols = _selection_bilinear(ipx_c, a, win_size, wpad)
         prev_imgs = jnp.stack([plevel.image, plevel.gx, plevel.gy])
-        iwin, gxwin, gywin = _apply_selection(sel_rows, sel_cols, prev_imgs)
+        iwin, gxwin, gywin = _extract_windows(
+            prev_imgs, ipy_c, ipx_c, win_size, win_size, fy=b, fx=a
+        )
 
         a11 = jnp.sum(gxwin * gxwin, axis=(1, 2))
         a12 = jnp.sum(gxwin * gywin, axis=(1, 2))
@@ -242,10 +291,9 @@ def lk_track(
         patch_x0 = jnp.floor(next_corner[:, 0]).astype(jnp.int32) - _MARGIN_X
         patch_y0 = jnp.clip(patch_y0 + _PAD, 0, hpad - _PATCH_H)
         patch_x0 = jnp.clip(patch_x0 + _PAD, 0, wpad - _PATCH_W)
-        prow = _selection_int(patch_y0, _PATCH_H, hpad)
-        pcol = _selection_int(patch_x0, _PATCH_W, wpad)
-        jpatch = _apply_selection(prow, pcol, nlevel.image[None])[0]
-        # (N, PATCH_H, PATCH_W)
+        jpatch = _extract_windows(
+            nlevel.image[None], patch_y0, patch_x0, _PATCH_H, _PATCH_W
+        )[0]  # (N, PATCH_H, PATCH_W)
 
         def iter_cond(state):
             j, _, active, _, _ = state

@@ -3,10 +3,15 @@
 
 The reference loops frame pairs sequentially purely because of the running
 cumulative sum at :281; every pair is independent.  Here pair matching runs
-under lax.scan (bounded memory; each pair's LK/RANSAC internals are the
-dominant allocation) and the displacement integration is a single cumsum —
-which becomes an associative scan over the frame-sharded mesh axis in the
+under lax.scan and the displacement integration is a single cumsum — which
+becomes an associative scan over the frame-sharded mesh axis in the
 multi-chip path (SURVEY.md section 2.3).
+
+Memory policy (HBM is the budget, not FLOPs): only the uint8 gray frames
+and the per-subframe keypoints persist across the scan; each pair's padded
+pyramid levels and Scharr derivatives are rebuilt inside the scan body
+(a few MFLOP per frame — noise next to the LK solve) instead of holding
+F x levels x 3 float32 planes for the whole clip.
 """
 
 from __future__ import annotations
@@ -26,6 +31,8 @@ from meshflow_tpu.motion.features import match_pair
 from meshflow_tpu.motion.propagate import vertex_velocities
 from meshflow_tpu.utils import grid
 
+_DETECT_CHUNK = 32  # frames per FAST invocation (bounds the 16-way diff stack)
+
 
 class MotionEstimate(NamedTuple):
     """Stage-2 outputs for a clip of F frames."""
@@ -35,54 +42,84 @@ class MotionEstimate(NamedTuple):
     pair_ok: jnp.ndarray  # (F-1,) bool — pair had >= min features
 
 
-def prepare_frames(frames_bgr: jnp.ndarray, config: MeshFlowConfig):
-    """Shared per-frame work: gray, keypoints, padded pyramid levels.
-
-    frames_bgr: (F, H, W, 3) uint8.  Returns (keypoints, levels) where
-    levels is a tuple of PaddedLevel pytrees batched over frames.
-    """
-    f, h, w = frames_bgr.shape[:3]
-    gray8 = bgr_to_gray(frames_bgr)
-    keypoints = detect_keypoints(gray8, config, h, w)
-    max_level = config.lk_max_level(h, w)
-    levels = tuple(
-        prepare_level(lvl) for lvl in build_pyramid(gray8.astype(jnp.float32), max_level)
-    )
-    return keypoints, levels
-
-
 @functools.partial(jax.jit, static_argnames=("config", "frame_height", "frame_width"))
-def estimate_motion_scanned(
-    keypoints,
-    levels,
-    key: jax.Array,
+def detect_all_frames(
+    gray8: jnp.ndarray,
     config: MeshFlowConfig,
     frame_height: int,
     frame_width: int,
-) -> MotionEstimate:
-    """Run match+propagate for every adjacent pair and integrate.
+):
+    """FAST keypoints for every frame, chunked over the frame axis."""
+    f = gray8.shape[0]
+    pad = (-f) % _DETECT_CHUNK
+    padded = jnp.pad(gray8, [(0, pad), (0, 0), (0, 0)])
+    blocks = padded.reshape(-1, _DETECT_CHUNK, frame_height, frame_width)
+    kps = jax.lax.map(
+        lambda g: detect_keypoints(g, config, frame_height, frame_width), blocks
+    )
+    return jax.tree.map(
+        lambda a: a.reshape((-1,) + a.shape[2:])[:f], kps
+    )
 
-    keypoints/levels: outputs of prepare_frames (leading frame axis F).
+
+def frame_pyramid(gray8_frame: jnp.ndarray, max_level: int):
+    """Padded pyramid levels + derivatives for one (H, W) uint8 frame."""
+    return tuple(
+        prepare_level(lvl)
+        for lvl in build_pyramid(gray8_frame.astype(jnp.float32), max_level)
+    )
+
+
+def prepare_frames(frames_bgr: jnp.ndarray, config: MeshFlowConfig):
+    """Shared per-frame work: gray conversion and keypoints.
+
+    frames_bgr: (F, H, W, 3) uint8.  Returns (keypoints, gray8 (F, H, W)).
     """
-    num_frames = keypoints.valid.shape[0]
+    f, h, w = frames_bgr.shape[:3]
+    gray8 = bgr_to_gray(frames_bgr)
+    keypoints = detect_all_frames(gray8, config, h, w)
+    return keypoints, gray8
+
+
+@functools.partial(jax.jit, static_argnames=("config", "frame_height", "frame_width"))
+def pair_velocity_scan(
+    keypoints,
+    gray8: jnp.ndarray,
+    key: jax.Array,
+    key_offset: jnp.ndarray,
+    config: MeshFlowConfig,
+    frame_height: int,
+    frame_width: int,
+):
+    """Match+propagate for the F-1 adjacent pairs of a frame block.
+
+    keypoints cover frames [0, F); gray8 is (F, H, W).  Returns
+    (velocities (F-1, R+1, C+1, 2), homographies (F-1, 3, 3), ok (F-1,)).
+    key_offset keeps per-pair RANSAC seeds unique across chunks.
+    """
+    num_frames = gray8.shape[0]
     vertex_grid = jnp.asarray(grid.vertex_grid(config, frame_height, frame_width))
+    max_level = config.lk_max_level(frame_height, frame_width)
 
     def pair_body(carry, t):
         kps_t = jax.tree.map(lambda a: a[t], keypoints)
-        prev_lv = tuple(jax.tree.map(lambda a: a[t], lv) for lv in levels)
-        next_lv = tuple(jax.tree.map(lambda a: a[t + 1], lv) for lv in levels)
+        prev_lv = frame_pyramid(gray8[t], max_level)
+        next_lv = frame_pyramid(gray8[t + 1], max_level)
         match = match_pair(
-            kps_t, prev_lv, next_lv, jax.random.fold_in(key, t), config
+            kps_t, prev_lv, next_lv,
+            jax.random.fold_in(key, t + key_offset), config,
         )
         velocity = vertex_velocities(
             match, vertex_grid, config, frame_height, frame_width
         )
         return carry, (velocity, match.homography, match.ok)
 
-    _, (velocities, homographies, pair_ok) = jax.lax.scan(
-        pair_body, None, jnp.arange(num_frames - 1)
-    )
+    _, out = jax.lax.scan(pair_body, None, jnp.arange(num_frames - 1))
+    return out
 
+
+def integrate_velocities(velocities: jnp.ndarray, homographies: jnp.ndarray, pair_ok):
+    """(F-1) per-pair outputs -> MotionEstimate (cumsum + identity tail)."""
     displacements = jnp.concatenate(
         [
             jnp.zeros((1,) + velocities.shape[1:], velocities.dtype),
@@ -98,10 +135,76 @@ def estimate_motion_scanned(
     )
 
 
+def estimate_motion_scanned(
+    keypoints,
+    gray8: jnp.ndarray,
+    key: jax.Array,
+    config: MeshFlowConfig,
+    frame_height: int,
+    frame_width: int,
+) -> MotionEstimate:
+    """Single-call variant (small clips / tests)."""
+    out = pair_velocity_scan(
+        keypoints, gray8, key, jnp.asarray(0, jnp.int32), config,
+        frame_height, frame_width,
+    )
+    return integrate_velocities(*out)
+
+
+def estimate_motion_chunked(
+    keypoints,
+    gray8: jnp.ndarray,
+    key: jax.Array,
+    config: MeshFlowConfig,
+    frame_height: int,
+    frame_width: int,
+    chunk_pairs: int = 128,
+) -> MotionEstimate:
+    """Host-driven chunked motion estimation.
+
+    Processes pairs in fixed-size blocks so (a) one compiled scan serves any
+    clip length, (b) per-call device work stays well under the runtime's
+    limits, and (c) long clips at high resolution never hold more than a
+    chunk of working set.  The final chunk is padded by edge-replicating the
+    last frame; padded pairs produce near-identity matches that are sliced
+    away before integration.
+    """
+    num_frames = gray8.shape[0]
+    num_pairs = num_frames - 1
+    pad = (-num_pairs) % chunk_pairs
+    gray_p = jnp.concatenate(
+        [gray8, jnp.repeat(gray8[-1:], pad, axis=0)], axis=0
+    )
+    kps_p = jax.tree.map(
+        lambda a: jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], axis=0),
+        keypoints,
+    )
+
+    vel_chunks, homo_chunks, ok_chunks = [], [], []
+    for start in range(0, num_pairs + pad, chunk_pairs):
+        g = jax.lax.dynamic_slice_in_dim(gray_p, start, chunk_pairs + 1, axis=0)
+        k = jax.tree.map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, start, chunk_pairs + 1, axis=0),
+            kps_p,
+        )
+        vel, homo, ok = pair_velocity_scan(
+            k, g, key, jnp.asarray(start, jnp.int32), config,
+            frame_height, frame_width,
+        )
+        vel_chunks.append(vel)
+        homo_chunks.append(homo)
+        ok_chunks.append(ok)
+
+    velocities = jnp.concatenate(vel_chunks, axis=0)[:num_pairs]
+    homographies = jnp.concatenate(homo_chunks, axis=0)[:num_pairs]
+    pair_ok = jnp.concatenate(ok_chunks, axis=0)[:num_pairs]
+    return integrate_velocities(velocities, homographies, pair_ok)
+
+
 def estimate_motion(
     frames_bgr: jnp.ndarray, config: MeshFlowConfig, key: jax.Array
 ) -> MotionEstimate:
     """Convenience wrapper: frames (F, H, W, 3) uint8 -> MotionEstimate."""
     f, h, w = frames_bgr.shape[:3]
-    keypoints, levels = prepare_frames(frames_bgr, config)
-    return estimate_motion_scanned(keypoints, levels, key, config, h, w)
+    keypoints, gray8 = prepare_frames(frames_bgr, config)
+    return estimate_motion_scanned(keypoints, gray8, key, config, h, w)

@@ -1,0 +1,115 @@
+"""End-to-end API tests on short synthetic clips, plus metric oracles."""
+
+import subprocess
+import sys
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from meshflow_tpu import MeshFlowStabilizer
+from meshflow_tpu.metrics.quality import stability_score
+
+
+def _write_clip(path, rng, num_frames=8, h=180, w=320, max_shift=10):
+    canvas = rng.integers(0, 256, size=((h + 4 * max_shift) // 6, (w + 4 * max_shift) // 6), dtype=np.uint8)
+    canvas = cv2.resize(canvas, (w + 4 * max_shift, h + 4 * max_shift), interpolation=cv2.INTER_NEAREST)
+    canvas = cv2.GaussianBlur(canvas, (5, 5), 1.0)
+    canvas = cv2.cvtColor(canvas, cv2.COLOR_GRAY2BGR)
+    shifts = [np.array([0, 0])]
+    for _ in range(num_frames - 1):
+        shifts.append(np.clip(shifts[-1] + rng.integers(-3, 4, size=2), -max_shift, max_shift))
+    writer = cv2.VideoWriter(
+        str(path), cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (w, h)
+    )
+    for s in shifts:
+        y0, x0 = 2 * max_shift + s[1], 2 * max_shift + s[0]
+        writer.write(canvas[y0 : y0 + h, x0 : x0 + w])
+    writer.release()
+
+
+def test_stability_score_matches_numpy_oracle(rng):
+    disp = rng.normal(size=(40, 17, 17, 2)).astype(np.float32)
+    ours = float(stability_score(jnp.asarray(disp)))
+    # Oracle: the reference's formula (/root/reference/meshflowstabilizer.py:1240-1259)
+    x = np.moveaxis(disp[..., 0], 0, 2)
+    y = np.moveaxis(disp[..., 1], 0, 2)
+    sx = np.square(np.abs(np.fft.fft(np.diff(x))))
+    sy = np.square(np.abs(np.fft.fft(np.diff(y))))
+    ref = (
+        np.mean(sx[:, :, 1:6].sum(2) / sx.sum(2))
+        + np.mean(sy[:, :, 1:6].sum(2) / sy.sum(2))
+    ) / 2
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_invalid_variant_raises():
+    m = MeshFlowStabilizer()
+    with pytest.raises(ValueError, match="adaptive_weights_definition"):
+        m.stabilize("/nonexistent.mp4", "/tmp/out.mp4", adaptive_weights_definition=9)
+
+
+def test_missing_file_raises_ioerror():
+    m = MeshFlowStabilizer()
+    with pytest.raises(IOError):
+        m.stabilize("/nonexistent-clip.mp4", "/tmp/out.mp4")
+
+
+@pytest.mark.slow
+def test_stabilize_end_to_end(tmp_path, rng):
+    inp = tmp_path / "in.mp4"
+    out = tmp_path / "out.mp4"
+    _write_clip(inp, rng)
+
+    m = MeshFlowStabilizer()
+    cropping_ratio, distortion_score, stability = m.stabilize(
+        str(inp), str(out), MeshFlowStabilizer.ADAPTIVE_WEIGHTS_DEFINITION_ORIGINAL
+    )
+
+    assert np.isfinite([cropping_ratio, distortion_score, stability]).all()
+    assert 0.2 < cropping_ratio <= 1.5
+    assert 0.0 < distortion_score <= 1.01
+    assert 0.0 <= stability <= 1.0
+
+    cap = cv2.VideoCapture(str(out))
+    assert cap.isOpened()
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 8
+    assert abs(cap.get(cv2.CAP_PROP_FPS) - 30.0) < 0.1
+    ok, frame = cap.read()
+    cap.release()
+    assert ok and frame.shape == (180, 320, 3)
+    # Border color must have been cropped away: no saturated-red pixels.
+    b, g, r = frame[..., 0].astype(int), frame[..., 1].astype(int), frame[..., 2].astype(int)
+    red_fraction = ((r > 200) & (g < 40) & (b < 40)).mean()
+    assert red_fraction < 0.01
+
+
+@pytest.mark.slow
+def test_cli_end_to_end(tmp_path, rng):
+    inp = tmp_path / "in.mp4"
+    out = tmp_path / "out.mp4"
+    _write_clip(inp, rng, num_frames=6)
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "meshflow_tpu.cli",
+            str(inp), str(out), "--variant", "constant-low", "--json",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        env={
+            "PATH": "/usr/local/bin:/usr/bin:/bin",
+            "MESHFLOW_PLATFORM": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+            "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache_meshflow_tests",
+            "HOME": "/root",
+        },
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import json
+
+    line = proc.stdout.strip().splitlines()[-1]
+    metrics = json.loads(line)
+    assert set(metrics) >= {"cropping_ratio", "distortion_score", "stability_score"}
+    assert out.exists()
