@@ -198,7 +198,8 @@ class MeshFlowStabilizer:
                 kps_c,
                 pad_to(gray8[start:stop], chunk),
                 pad_to(cropped_gray8[start:stop], chunk),
-                jax.random.fold_in(self._key, 2 + start),
+                jax.random.fold_in(self._key, 2),
+                jnp.asarray(start, jnp.int32),
                 config,
                 h,
                 w,

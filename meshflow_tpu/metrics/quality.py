@@ -51,6 +51,7 @@ def cropping_and_distortion_scanned(
     unstab_gray8: jnp.ndarray,
     cropped_gray8: jnp.ndarray,
     key: jax.Array,
+    key_offset: jnp.ndarray,
     config: MeshFlowConfig,
     frame_height: int,
     frame_width: int,
@@ -70,7 +71,7 @@ def cropping_and_distortion_scanned(
         un_lv = frame_pyramid(unstab_gray8[t], max_level)
         cr_lv = frame_pyramid(cropped_gray8[t], max_level)
         match = match_pair(
-            kps_t, un_lv, cr_lv, jax.random.fold_in(key, t), config
+            kps_t, un_lv, cr_lv, jax.random.fold_in(key, t + key_offset), config
         )
         h = match.homography
         ratio = 1.0 / (h[0, 0] * h[1, 1])
