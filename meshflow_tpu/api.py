@@ -135,9 +135,9 @@ class MeshFlowStabilizer:
         chunk = min(self.CHUNK, num_frames)
         unstab_grid = jnp.asarray(grid.vertex_grid(config, h, w))
 
-        keypoints, gray8 = prepare_frames(frames, config)
+        keypoints, _ = prepare_frames(frames, config)
         motion = estimate_motion_chunked(
-            keypoints, gray8, jax.random.fold_in(self._key, 1), config, h, w,
+            keypoints, frames, jax.random.fold_in(self._key, 1), config, h, w,
             chunk_pairs=max(chunk - 1, 1),
         )
 
@@ -186,9 +186,6 @@ class MeshFlowStabilizer:
         ]
         cropped = jnp.concatenate(cropped_chunks, axis=0)
 
-        from meshflow_tpu.kernels.color import bgr_to_gray
-
-        cropped_gray8 = bgr_to_gray(cropped)
         ratios = []
         distortions = []
         for start in range(0, num_frames, chunk):
@@ -196,8 +193,8 @@ class MeshFlowStabilizer:
             kps_c = jax.tree.map(lambda a: pad_to(a[start:stop], chunk), keypoints)
             r, d = cropping_and_distortion_scanned(
                 kps_c,
-                pad_to(gray8[start:stop], chunk),
-                pad_to(cropped_gray8[start:stop], chunk),
+                pad_to(frames[start:stop], chunk),
+                pad_to(cropped[start:stop], chunk),
                 jax.random.fold_in(self._key, 2),
                 jnp.asarray(start, jnp.int32),
                 config,

@@ -224,6 +224,12 @@ def lk_track(
     """Track points from the prev pyramid into the next pyramid.
 
     points: (N, 2) float32 [x, y] at level 0; valid: (N,) bool.
+    Level images may be (Hp, Wp) gray or (C, Hp, Wp) multi-channel: the
+    reference passes 3-channel BGR subframes to cv2.calcOpticalFlowPyrLK
+    (/root/reference/meshflowstabilizer.py:618), whose gradient matrix and
+    photometric residuals accumulate over channels — gray-only tracking
+    fails OpenCV's minEig threshold on weak-texture windows that color
+    tracking keeps.
     Returns (next_points (N, 2) float32, status (N,) bool).  Invalid input
     slots come back with status False and their input position.
     """
@@ -241,8 +247,15 @@ def lk_track(
     for level in range(max_level, -1, -1):
         plevel = prev_levels[level]
         nlevel = next_levels[level]
-        rows = plevel.image.shape[-2] - 2 * _PAD
-        cols = plevel.image.shape[-1] - 2 * _PAD
+
+        def chan(a):
+            return a if a.ndim == 3 else a[None]
+
+        p_img, p_gx, p_gy = chan(plevel.image), chan(plevel.gx), chan(plevel.gy)
+        n_img = chan(nlevel.image)
+        num_ch = p_img.shape[0]
+        rows = p_img.shape[-2] - 2 * _PAD
+        cols = p_img.shape[-1] - 2 * _PAD
         hpad = rows + 2 * _PAD
         wpad = cols + 2 * _PAD
         prev_pts_l = points / (2.0**level) - half
@@ -264,14 +277,18 @@ def lk_track(
         # --- prev windows: bilinear selection matmuls off the full level ---
         ipy_c = jnp.clip(ipy + _PAD, 0, hpad - (win_size + 1))
         ipx_c = jnp.clip(ipx + _PAD, 0, wpad - (win_size + 1))
-        prev_imgs = jnp.stack([plevel.image, plevel.gx, plevel.gy])
-        iwin, gxwin, gywin = _extract_windows(
+        prev_imgs = jnp.concatenate([p_img, p_gx, p_gy], axis=0)  # (3C, Hp, Wp)
+        wins = _extract_windows(
             prev_imgs, ipy_c, ipx_c, win_size, win_size, fy=b, fx=a
-        )
+        )  # (3C, N, w, w)
+        # (N, C, w, w) each
+        iwin = jnp.swapaxes(wins[:num_ch], 0, 1)
+        gxwin = jnp.swapaxes(wins[num_ch : 2 * num_ch], 0, 1)
+        gywin = jnp.swapaxes(wins[2 * num_ch :], 0, 1)
 
-        a11 = jnp.sum(gxwin * gxwin, axis=(1, 2))
-        a12 = jnp.sum(gxwin * gywin, axis=(1, 2))
-        a22 = jnp.sum(gywin * gywin, axis=(1, 2))
+        a11 = jnp.sum(gxwin * gxwin, axis=(1, 2, 3))
+        a12 = jnp.sum(gxwin * gywin, axis=(1, 2, 3))
+        a22 = jnp.sum(gywin * gywin, axis=(1, 2, 3))
 
         a11c, a12c, a22c = a11 * cv_scale, a12 * cv_scale, a22 * cv_scale
         det = a11c * a22c - a12c * a12c
@@ -291,9 +308,10 @@ def lk_track(
         patch_x0 = jnp.floor(next_corner[:, 0]).astype(jnp.int32) - _MARGIN_X
         patch_y0 = jnp.clip(patch_y0 + _PAD, 0, hpad - _PATCH_H)
         patch_x0 = jnp.clip(patch_x0 + _PAD, 0, wpad - _PATCH_W)
-        jpatch = _extract_windows(
-            nlevel.image[None], patch_y0, patch_x0, _PATCH_H, _PATCH_W
-        )[0]  # (N, PATCH_H, PATCH_W)
+        jpatch = jnp.swapaxes(
+            _extract_windows(n_img, patch_y0, patch_x0, _PATCH_H, _PATCH_W),
+            0, 1,
+        )  # (N, C, PATCH_H, PATCH_W)
 
         def iter_cond(state):
             j, _, active, _, _ = state
@@ -321,17 +339,18 @@ def lk_track(
             wrow = _selection_bilinear(oy, fb, win_size, _PATCH_H)
             wcol = _selection_bilinear(ox, fa, win_size, _PATCH_W)
             tmp = jax.lax.dot_general(
-                wrow, jpatch, (((2,), (1,)), ((0,), (0,))),
+                wrow, jpatch, (((2,), (2,)), ((0,), (0,))),
                 precision=_SEL_PRECISION,
-            )  # (N, win, PATCH_W)
+            )  # (N, win, C, PATCH_W)
             jwin = jax.lax.dot_general(
-                tmp, wcol, (((2,), (2,)), ((0,), (0,))),
+                tmp, wcol, (((3,), (2,)), ((0,), (0,))),
                 precision=_SEL_PRECISION,
-            )  # (N, win, win)
+            )  # (N, win, C, win)
+            jwin = jnp.swapaxes(jwin, 1, 2)  # (N, C, win, win)
 
             diff = jwin - iwin
-            b1 = jnp.sum(diff * gxwin, axis=(1, 2)) * cv_scale
-            b2 = jnp.sum(diff * gywin, axis=(1, 2)) * cv_scale
+            b1 = jnp.sum(diff * gxwin, axis=(1, 2, 3)) * cv_scale
+            b2 = jnp.sum(diff * gywin, axis=(1, 2, 3)) * cv_scale
             dx = (a12c * b2 - a22c * b1) * inv_det
             dy = (a12c * b1 - a11c * b2) * inv_det
             delta = jnp.stack([dx, dy], axis=-1)

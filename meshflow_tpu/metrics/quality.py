@@ -48,8 +48,8 @@ def stability_score(stab_disp: jnp.ndarray) -> jnp.ndarray:
 )
 def cropping_and_distortion_scanned(
     unstab_keypoints,
-    unstab_gray8: jnp.ndarray,
-    cropped_gray8: jnp.ndarray,
+    unstab_frames: jnp.ndarray,
+    cropped_frames: jnp.ndarray,
     key: jax.Array,
     key_offset: jnp.ndarray,
     config: MeshFlowConfig,
@@ -61,17 +61,18 @@ def cropping_and_distortion_scanned(
     at the caller (which may be driving fixed-size chunks).  Pyramids are
     rebuilt per frame inside the scan (same memory policy as
     motion.pipeline)."""
-    from meshflow_tpu.motion.pipeline import frame_pyramid
+    from meshflow_tpu.motion.pipeline import tile_pyramid
 
     num_frames = unstab_keypoints.valid.shape[0]
     max_level = config.lk_max_level(frame_height, frame_width)
 
     def body(carry, t):
         kps_t = jax.tree.map(lambda a: a[t], unstab_keypoints)
-        un_lv = frame_pyramid(unstab_gray8[t], max_level)
-        cr_lv = frame_pyramid(cropped_gray8[t], max_level)
+        un_lv = tile_pyramid(unstab_frames[t], config, max_level)
+        cr_lv = tile_pyramid(cropped_frames[t], config, max_level)
         match = match_pair(
-            kps_t, un_lv, cr_lv, jax.random.fold_in(key, t + key_offset), config
+            kps_t, un_lv, cr_lv, jax.random.fold_in(key, t + key_offset), config,
+            frame_height, frame_width,
         )
         h = match.homography
         ratio = 1.0 / (h[0, 0] * h[1, 1])

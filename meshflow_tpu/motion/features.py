@@ -5,10 +5,11 @@ Rebuilds the reference's L2 stack (/root/reference/meshflowstabilizer.py:455-629
 
 * ``_get_all_matched_features_between_subframes`` (:581-629): FAST keypoints
   on the early frame, pyramidal LK into the late frame, tracked-status
-  filtering.  We detect per subframe in one batched kernel and track on
-  whole-frame pyramids (the reference tracks subframe views; windows near
-  subframe borders therefore see slightly different support — parity is
-  gated on end metrics).
+  filtering.  Detection runs per subframe in one batched kernel; tracking
+  runs on per-subframe tile pyramids (the tile axis is just a batch dim),
+  matching the reference's subframe-view windows and pyramid sizes exactly
+  — whole-frame tracking measurably shifts the global least-squares fit on
+  translation-dominated pairs.
 * ``_get_features_in_subframe`` (:531-578): per-subframe RANSAC homography
   inlier masks (OpenCV reproj threshold 3.0); subframes with < 4 features
   contribute nothing.
@@ -19,8 +20,7 @@ Rebuilds the reference's L2 stack (/root/reference/meshflowstabilizer.py:455-629
   dereferencing it (SURVEY.md section 8.11).  Here that case is defined
   behavior: ok=False, identity homography, empty feature set.
 
-Ragged OpenCV arrays become fixed-capacity (S, K) tensors with masks; the
-LK call runs on a compacted top-N_track slice so padded slots cost nothing.
+Ragged OpenCV arrays become fixed-capacity (S, K) tensors with masks.
 """
 
 from __future__ import annotations
@@ -35,6 +35,7 @@ from meshflow_tpu.config import MeshFlowConfig
 from meshflow_tpu.kernels.fast import detect_keypoints
 from meshflow_tpu.kernels.homography import estimate_homography, ransac_homography
 from meshflow_tpu.kernels.lk import lk_track
+from meshflow_tpu.utils.grid import subframe_offsets
 
 
 class MatchResult(NamedTuple):
@@ -52,37 +53,39 @@ def track_pair(
     prev_levels,
     next_levels,
     config: MeshFlowConfig,
-    n_track: int,
+    frame_height: int,
+    frame_width: int,
 ):
     """LK-track one frame's keypoints into the next frame.
 
-    Compacts the (S, K) keypoint slots to the top n_track valid ones (LK
-    cost is linear in slot count), tracks, and scatters back.
-    Returns (late_positions (S, K, 2), tracked (S, K) bool).
+    prev_levels/next_levels: per-tile pyramids (tile axis leading, see
+    motion.pipeline.tile_pyramid).  Keypoint positions are frame-relative;
+    tracking happens in tile-local coordinates like the reference's
+    subframe views, then converts back.
+    Returns (late_positions (S, K, 2) frame-relative, tracked (S, K) bool).
     """
-    s, k = early_keypoints.valid.shape[-2:]
-    flat_pos = early_keypoints.positions.reshape(s * k, 2)
-    flat_valid = early_keypoints.valid.reshape(s * k)
+    offsets = jnp.asarray(
+        subframe_offsets(config, frame_height, frame_width), jnp.float32
+    )  # (S, 2) [x, y]
+    local_pts = early_keypoints.positions - offsets[:, None, :]
 
-    order = jnp.argsort(jnp.logical_not(flat_valid), stable=True)
-    sel = order[:n_track]
-    pts = flat_pos[sel]
-    vm = flat_valid[sel]
+    def per_tile(prev_lv, next_lv, pts, valid):
+        return lk_track(
+            prev_lv,
+            next_lv,
+            pts,
+            valid,
+            win_size=config.lk_window_size,
+            max_iters=config.lk_max_iterations,
+            eps=config.lk_epsilon,
+            min_eig_threshold=config.lk_min_eig_threshold,
+        )
 
-    tracked_pts, status = lk_track(
-        prev_levels,
-        next_levels,
-        pts,
-        vm,
-        win_size=config.lk_window_size,
-        max_iters=config.lk_max_iterations,
-        eps=config.lk_epsilon,
-        min_eig_threshold=config.lk_min_eig_threshold,
+    # Levels are (C, S, Hp, Wp): tiles on axis 1, channels stay per call.
+    tracked_local, status = jax.vmap(per_tile, in_axes=(1, 1, 0, 0))(
+        prev_levels, next_levels, local_pts, early_keypoints.valid
     )
-
-    late_flat = jnp.zeros_like(flat_pos).at[sel].set(tracked_pts)
-    status_flat = jnp.zeros_like(flat_valid).at[sel].set(status)
-    return late_flat.reshape(s, k, 2), status_flat.reshape(s, k)
+    return tracked_local + offsets[:, None, :], status
 
 
 def match_pair(
@@ -91,12 +94,14 @@ def match_pair(
     next_levels,
     key: jax.Array,
     config: MeshFlowConfig,
+    frame_height: int,
+    frame_width: int,
 ) -> MatchResult:
     """Full L2 stack for one frame pair."""
     s, k = early_keypoints.valid.shape[-2:]
     late_pos, tracked = track_pair(
         early_keypoints, prev_levels, next_levels, config,
-        min(config.max_features_per_frame, 4096),
+        frame_height, frame_width,
     )
     early_pos = early_keypoints.positions
     tracked = tracked & early_keypoints.valid

@@ -70,6 +70,53 @@ def frame_pyramid(gray8_frame: jnp.ndarray, max_level: int):
     )
 
 
+def split_tiles(gray: jnp.ndarray, config: MeshFlowConfig):
+    """(..., H, W) -> (..., S, tile_h, tile_w) in the reference's subframe
+    order (outer loop over x, inner over y: s = col * rows + row,
+    /root/reference/meshflowstabilizer.py:503-509).
+
+    Non-divisible frames are edge-padded; the reference instead gives the
+    last subframe its true (smaller) extent, so tracking near the padded
+    edge can differ there — exact for the demo suite's 640x360.
+    """
+    h, w = gray.shape[-2], gray.shape[-1]
+    rows = config.mesh_outlier_subframe_row_count
+    cols = config.mesh_outlier_subframe_col_count
+    tile_h, tile_w = config.subframe_shape(h, w)
+    pad = [(0, 0)] * (gray.ndim - 2) + [
+        (0, rows * tile_h - h),
+        (0, cols * tile_w - w),
+    ]
+    g = jnp.pad(gray, pad, mode="edge")
+    batch = gray.shape[:-2]
+    g = g.reshape(batch + (rows, tile_h, cols, tile_w))
+    g = jnp.moveaxis(g, -2, -4)  # (..., cols, rows, tile_h, tile_w)
+    return g.reshape(batch + (rows * cols, tile_h, tile_w))
+
+
+def tile_pyramid(frame: jnp.ndarray, config: MeshFlowConfig, max_level: int):
+    """Per-subframe-tile padded pyramid for one frame.
+
+    frame: (H, W, 3) uint8 BGR (or (H, W) gray).  The reference runs
+    cv2.calcOpticalFlowPyrLK on 3-channel BGR subframe views
+    (/root/reference/meshflowstabilizer.py:618-620), so (a) LK windows are
+    clamped to tile support and pyramid levels derive from tile dims —
+    whole-frame tracking measurably shifts the global least-squares fit on
+    translation-dominated pairs — and (b) gradients/residuals accumulate
+    over the three channels, which changes which weak-texture tracks pass
+    OpenCV's minEig threshold.  Channels and tiles are batch dimensions:
+    every level is (C, S, th_l+2P, tw_l+2P).
+    """
+    if frame.ndim == 3:
+        chans = jnp.moveaxis(frame, -1, 0).astype(jnp.float32)
+    else:
+        chans = frame[None].astype(jnp.float32)
+    tiles = split_tiles(chans, config)  # (C, S, th, tw)
+    return tuple(
+        prepare_level(lvl) for lvl in build_pyramid(tiles, max_level)
+    )
+
+
 def prepare_frames(frames_bgr: jnp.ndarray, config: MeshFlowConfig):
     """Shared per-frame work: gray conversion and keypoints.
 
@@ -84,7 +131,7 @@ def prepare_frames(frames_bgr: jnp.ndarray, config: MeshFlowConfig):
 @functools.partial(jax.jit, static_argnames=("config", "frame_height", "frame_width"))
 def pair_velocity_scan(
     keypoints,
-    gray8: jnp.ndarray,
+    frames_bgr: jnp.ndarray,
     key: jax.Array,
     key_offset: jnp.ndarray,
     config: MeshFlowConfig,
@@ -93,21 +140,23 @@ def pair_velocity_scan(
 ):
     """Match+propagate for the F-1 adjacent pairs of a frame block.
 
-    keypoints cover frames [0, F); gray8 is (F, H, W).  Returns
+    keypoints cover frames [0, F); frames_bgr is (F, H, W, 3) uint8 (the
+    tracker consumes BGR like the reference).  Returns
     (velocities (F-1, R+1, C+1, 2), homographies (F-1, 3, 3), ok (F-1,)).
     key_offset keeps per-pair RANSAC seeds unique across chunks.
     """
-    num_frames = gray8.shape[0]
+    num_frames = frames_bgr.shape[0]
     vertex_grid = jnp.asarray(grid.vertex_grid(config, frame_height, frame_width))
     max_level = config.lk_max_level(frame_height, frame_width)
 
     def pair_body(carry, t):
         kps_t = jax.tree.map(lambda a: a[t], keypoints)
-        prev_lv = frame_pyramid(gray8[t], max_level)
-        next_lv = frame_pyramid(gray8[t + 1], max_level)
+        prev_lv = tile_pyramid(frames_bgr[t], config, max_level)
+        next_lv = tile_pyramid(frames_bgr[t + 1], config, max_level)
         match = match_pair(
             kps_t, prev_lv, next_lv,
             jax.random.fold_in(key, t + key_offset), config,
+            frame_height, frame_width,
         )
         velocity = vertex_velocities(
             match, vertex_grid, config, frame_height, frame_width
@@ -137,7 +186,7 @@ def integrate_velocities(velocities: jnp.ndarray, homographies: jnp.ndarray, pai
 
 def estimate_motion_scanned(
     keypoints,
-    gray8: jnp.ndarray,
+    frames_bgr: jnp.ndarray,
     key: jax.Array,
     config: MeshFlowConfig,
     frame_height: int,
@@ -145,7 +194,7 @@ def estimate_motion_scanned(
 ) -> MotionEstimate:
     """Single-call variant (small clips / tests)."""
     out = pair_velocity_scan(
-        keypoints, gray8, key, jnp.asarray(0, jnp.int32), config,
+        keypoints, frames_bgr, key, jnp.asarray(0, jnp.int32), config,
         frame_height, frame_width,
     )
     return integrate_velocities(*out)
@@ -153,7 +202,7 @@ def estimate_motion_scanned(
 
 def estimate_motion_chunked(
     keypoints,
-    gray8: jnp.ndarray,
+    frames_bgr: jnp.ndarray,
     key: jax.Array,
     config: MeshFlowConfig,
     frame_height: int,
@@ -169,11 +218,11 @@ def estimate_motion_chunked(
     last frame; padded pairs produce near-identity matches that are sliced
     away before integration.
     """
-    num_frames = gray8.shape[0]
+    num_frames = frames_bgr.shape[0]
     num_pairs = num_frames - 1
     pad = (-num_pairs) % chunk_pairs
-    gray_p = jnp.concatenate(
-        [gray8, jnp.repeat(gray8[-1:], pad, axis=0)], axis=0
+    frames_p = jnp.concatenate(
+        [frames_bgr, jnp.repeat(frames_bgr[-1:], pad, axis=0)], axis=0
     )
     kps_p = jax.tree.map(
         lambda a: jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], axis=0),
@@ -182,7 +231,7 @@ def estimate_motion_chunked(
 
     vel_chunks, homo_chunks, ok_chunks = [], [], []
     for start in range(0, num_pairs + pad, chunk_pairs):
-        g = jax.lax.dynamic_slice_in_dim(gray_p, start, chunk_pairs + 1, axis=0)
+        g = jax.lax.dynamic_slice_in_dim(frames_p, start, chunk_pairs + 1, axis=0)
         k = jax.tree.map(
             lambda a: jax.lax.dynamic_slice_in_dim(a, start, chunk_pairs + 1, axis=0),
             kps_p,
@@ -206,5 +255,5 @@ def estimate_motion(
 ) -> MotionEstimate:
     """Convenience wrapper: frames (F, H, W, 3) uint8 -> MotionEstimate."""
     f, h, w = frames_bgr.shape[:3]
-    keypoints, gray8 = prepare_frames(frames_bgr, config)
-    return estimate_motion_scanned(keypoints, gray8, key, config, h, w)
+    keypoints, _ = prepare_frames(frames_bgr, config)
+    return estimate_motion_scanned(keypoints, frames_bgr, key, config, h, w)

@@ -100,7 +100,8 @@ def stabilize_sharded(
 
         # --- local pair motion (B pairs; the global wrap pair is masked) --
         vel, homo, ok = pair_velocity_scan(
-            keypoints, gray8, key, idx * block, config, frame_height, frame_width
+            keypoints, frames_ext, key, idx * block, config,
+            frame_height, frame_width,
         )
         global_pair = idx * block + jnp.arange(block)
         valid = (global_pair < num_frames - 1)[:, None, None, None]
@@ -157,8 +158,8 @@ def stabilize_sharded(
         # --- metrics ------------------------------------------------------
         ratios, distortions = cropping_and_distortion_scanned(
             jax.tree.map(lambda a: a[:block], keypoints),
-            gray8[:block],
-            bgr_to_gray(cropped_local),
+            frames_local,
+            cropped_local,
             jax.random.fold_in(key, 10_000),
             idx * block,
             config,
