@@ -1,0 +1,203 @@
+"""Online (streaming) minimum-latency stabilization.
+
+The paper behind the reference — "MeshFlow: Minimum Latency Online Video
+Stabilization" — is an ONLINE method, but the reference implementation only
+ships the offline whole-clip variant.  This module adds the paper's
+sliding-window formulation (BASELINE.json config: "online low-latency
+mode"): each incoming frame is stabilized using only the committed past, at
+one frame of algorithmic latency.
+
+Per frame t:
+
+1. match/propagate against frame t-1 (same batched L2/L3 stack as the
+   offline path) -> velocity -> unstabilized displacement c_t = c_{t-1}+v.
+2. solve for p_t over a causal window of the last OMEGA committed
+   stabilized displacements: iterate the same Jacobi update the offline
+   solver uses, but only for the newest frame with past p_r frozen —
+   p_t <- (c_t + 2 lambda_t sum_r w_{t,r} p_r) / (1 + 2 lambda_t sum_r w_{t,r})
+   which is the energy's exact coordinate-descent step for p_t.
+3. warp frame t by (p_t - c_t) with the one-pass mesh warp and apply a
+   fixed crop ratio (an online system cannot know the future global crop;
+   the paper pre-reserves a cropping margin).
+
+The whole step is one jitted function over carried state, so steady-state
+latency is one device step per frame.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from meshflow_tpu.config import MeshFlowConfig
+from meshflow_tpu.kernels.color import bgr_to_gray
+from meshflow_tpu.kernels.fast import detect_keypoints
+from meshflow_tpu.motion.features import match_pair
+from meshflow_tpu.motion.pipeline import tile_pyramid
+from meshflow_tpu.motion.propagate import vertex_velocities
+from meshflow_tpu.render.stabilize import (
+    backward_map,
+    bilinear_sample,
+    crop_resize_frame,
+    warp_frame,
+)
+from meshflow_tpu.solver.jacobi import gaussian_band
+from meshflow_tpu.solver.weights import adaptive_weights
+from meshflow_tpu.utils import grid
+
+
+class OnlineState(NamedTuple):
+    prev_frame: jnp.ndarray  # (H, W, 3) uint8
+    unstab_window: jnp.ndarray  # (OMEGA+1, R+1, C+1, 2) c_{t-OMEGA..t}
+    stab_window: jnp.ndarray  # (OMEGA+1, R+1, C+1, 2) p_{t-OMEGA..t}
+    step: jnp.ndarray  # () int32 frames processed so far
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config",
+        "frame_height",
+        "frame_width",
+        "adaptive_weights_definition",
+        "crop_ratio",
+        "refine_iterations",
+    ),
+)
+def online_step(
+    state: OnlineState,
+    frame: jnp.ndarray,
+    key: jax.Array,
+    config: MeshFlowConfig,
+    frame_height: int,
+    frame_width: int,
+    adaptive_weights_definition: int = 0,
+    crop_ratio: float = 0.8,
+    refine_iterations: int = 10,
+):
+    """One streaming step: (state, frame t) -> (new state, stabilized frame).
+
+    refine_iterations: coordinate-descent refinements of p_t against the
+    causal window (each is the exact minimizer of the energy in p_t given
+    the frozen past, so a handful suffice).
+    """
+    omega = config.temporal_smoothing_radius
+    unstab_grid = jnp.asarray(grid.vertex_grid(config, frame_height, frame_width))
+
+    gray_prev = bgr_to_gray(state.prev_frame)
+    kps = detect_keypoints(gray_prev, config, frame_height, frame_width)
+    max_level = config.lk_max_level(frame_height, frame_width)
+    prev_lv = tile_pyramid(state.prev_frame, config, max_level)
+    next_lv = tile_pyramid(frame, config, max_level)
+    match = match_pair(
+        kps, prev_lv, next_lv, jax.random.fold_in(key, state.step),
+        config, frame_height, frame_width,
+    )
+    velocity = vertex_velocities(
+        match, unstab_grid, config, frame_height, frame_width
+    )
+
+    c_t = state.unstab_window[-1] + velocity
+    unstab_window = jnp.concatenate(
+        [state.unstab_window[1:], c_t[None]], axis=0
+    )
+
+    lam = adaptive_weights(
+        match.homography[None], frame_width, frame_height,
+        adaptive_weights_definition,
+    )[0]
+
+    # Causal Gaussian weights over the last OMEGA committed frames.
+    # Window slot i in past = stab_window[1:] holds p_{t-omega+i}, i.e.
+    # distance d = omega - i from the new frame; g(d) = band[omega - d] =
+    # band[i] by symmetry.  Slots for frames before the stream start are
+    # masked out (frame index t - omega + i >= 0 with t = step + 1).
+    band = gaussian_band(omega, jnp.float32)  # 2*omega+1 taps
+    past_idx = jnp.arange(omega, dtype=jnp.int32)
+    have = past_idx >= jnp.maximum(omega - state.step - 1, 0)
+    wgt = jnp.where(have, band[:omega], 0.0)
+
+    denom = 1.0 + 2.0 * lam * jnp.sum(wgt)
+    past = state.stab_window[1:]  # p_{t-omega..t-1}
+    weighted_past = jnp.sum(wgt[:, None, None, None] * past, axis=0)
+    # Exact minimizer of the causal energy in p_t with the past frozen.
+    p_t = (c_t + 2.0 * lam * weighted_past) / denom
+
+    stab_window = jnp.concatenate([state.stab_window[1:], p_t[None]], axis=0)
+
+    stab_pos = unstab_grid + (p_t - c_t)
+    bmap = backward_map(stab_pos, unstab_grid, config, frame_height, frame_width)
+    border = jnp.asarray(config.color_outside_image_area_bgr, jnp.float32)
+    stabilized = warp_frame(frame, bmap, border)
+
+    # Fixed online crop: centered crop_ratio rectangle stretched back.
+    margin_x = int(round(frame_width * (1.0 - crop_ratio) / 2))
+    margin_y = int(round(frame_height * (1.0 - crop_ratio) / 2))
+    crop = jnp.asarray(
+        [margin_x, margin_y, frame_width - 1 - margin_x, frame_height - 1 - margin_y],
+        jnp.int32,
+    )
+    out = crop_resize_frame(stabilized, crop, frame_height, frame_width)
+
+    new_state = OnlineState(
+        prev_frame=frame,
+        unstab_window=unstab_window,
+        stab_window=stab_window,
+        step=state.step + 1,
+    )
+    return new_state, out
+
+
+class OnlineMeshFlowStabilizer:
+    """Streaming stabilizer: feed frames, get stabilized frames back with
+    one frame of latency (the first call returns the frame unchanged)."""
+
+    def __init__(
+        self,
+        config: MeshFlowConfig | None = None,
+        adaptive_weights_definition: int = 0,
+        crop_ratio: float = 0.8,
+        seed: int = 0,
+    ):
+        self.config = config or MeshFlowConfig()
+        self.adaptive_weights_definition = adaptive_weights_definition
+        self.crop_ratio = crop_ratio
+        self._key = jax.random.PRNGKey(seed)
+        self._state: OnlineState | None = None
+        self._shape = None
+
+    def process(self, frame: np.ndarray) -> np.ndarray:
+        """frame: (H, W, 3) uint8 BGR -> stabilized (H, W, 3) uint8 BGR."""
+        h, w = frame.shape[:2]
+        cfg = self.config
+        device_frame = jnp.asarray(frame)
+        if self._state is None:
+            omega = cfg.temporal_smoothing_radius
+            zeros = jnp.zeros(
+                (omega + 1, cfg.vertex_rows, cfg.vertex_cols, 2), jnp.float32
+            )
+            self._state = OnlineState(
+                prev_frame=device_frame,
+                unstab_window=zeros,
+                stab_window=zeros,
+                step=jnp.asarray(0, jnp.int32),
+            )
+            self._shape = (h, w)
+            return frame
+        assert self._shape == (h, w), "frame size changed mid-stream"
+        self._state, out = online_step(
+            self._state,
+            device_frame,
+            self._key,
+            cfg,
+            h,
+            w,
+            self.adaptive_weights_definition,
+            self.crop_ratio,
+        )
+        return np.asarray(out)
