@@ -32,6 +32,8 @@ from meshflow_tpu.render.stabilize import crop_frames, render_stabilized
 from meshflow_tpu.solver.jacobi import jacobi_smooth
 from meshflow_tpu.solver.weights import adaptive_weights
 from meshflow_tpu.utils import grid
+from meshflow_tpu.utils.profiling import StageTimer
+from meshflow_tpu.utils.transfer import device_to_host_u8
 
 
 class MeshFlowStabilizer:
@@ -100,16 +102,25 @@ class MeshFlowStabilizer:
         (cropping_ratio, distortion_score, stability_score)."""
         validate_adaptive_weights_definition(adaptive_weights_definition)
         config = self.config
+        timer = StageTimer()
 
-        frames_np, info = video_io.read_video(input_path)
+        with timer.stage("decode"):
+            frames_np, info = video_io.read_video(input_path)
         num_frames, h, w = frames_np.shape[:3]
-        frames = jnp.asarray(frames_np)
+        with timer.stage("host->device"):
+            frames = jnp.asarray(frames_np)
+            frames.block_until_ready()
 
-        result = self._stabilize_frames(frames, adaptive_weights_definition, h, w)
+        result = self._stabilize_frames(
+            frames, adaptive_weights_definition, h, w, timer
+        )
         cropped, cropping_ratio, distortion_score, stability = result
 
-        cropped_np = np.asarray(cropped)
-        video_io.write_video(output_path, cropped_np, info.fps, info.fourcc)
+        with timer.stage("device->host"):
+            cropped_np = device_to_host_u8(cropped)
+        with timer.stage("encode"):
+            video_io.write_video(output_path, cropped_np, info.fps, info.fourcc)
+        timer.report()
 
         if self.visualize:
             self._display_loop(frames_np, cropped_np, info.fps)
@@ -126,30 +137,39 @@ class MeshFlowStabilizer:
     # working sets never exceed a chunk.
     CHUNK = 128
 
-    def _stabilize_frames(self, frames, adaptive_weights_definition, h, w):
+    def _stabilize_frames(
+        self, frames, adaptive_weights_definition, h, w, timer=None
+    ):
         """Device pipeline: (F, H, W, 3) uint8 -> (cropped frames, metrics)."""
         config = self.config
+        timer = timer or StageTimer(enabled=False)
         num_frames = frames.shape[0]
         # Short clips use one exact-size chunk (no padding waste); long
         # clips amortize a single CHUNK-size compilation.
         chunk = min(self.CHUNK, num_frames)
         unstab_grid = jnp.asarray(grid.vertex_grid(config, h, w))
 
-        keypoints, _ = prepare_frames(frames, config)
-        motion = estimate_motion_chunked(
-            keypoints, frames, jax.random.fold_in(self._key, 1), config, h, w,
-            chunk_pairs=max(chunk - 1, 1),
-        )
+        with timer.stage("detect"):
+            keypoints, _ = prepare_frames(frames, config)
+            keypoints.valid.block_until_ready()
+        with timer.stage("motion"):
+            motion = estimate_motion_chunked(
+                keypoints, frames, jax.random.fold_in(self._key, 1), config, h, w,
+                chunk_pairs=max(chunk - 1, 1),
+            )
+            motion.displacements.block_until_ready()
 
-        lambdas = adaptive_weights(
-            motion.homographies, w, h, adaptive_weights_definition
-        )
-        stab_disp = jacobi_smooth(
-            motion.displacements,
-            lambdas,
-            config.temporal_smoothing_radius,
-            config.optimization_num_iterations,
-        )
+        with timer.stage("solver"):
+            lambdas = adaptive_weights(
+                motion.homographies, w, h, adaptive_weights_definition
+            )
+            stab_disp = jacobi_smooth(
+                motion.displacements,
+                lambdas,
+                config.temporal_smoothing_radius,
+                config.optimization_num_iterations,
+            )
+            stab_disp.block_until_ready()
 
         # Warp in fixed-size chunks; the video crop is the intersection of
         # the per-chunk crops (/root/reference/meshflowstabilizer.py:1102-1106).
@@ -157,6 +177,8 @@ class MeshFlowStabilizer:
             padding = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
             return jnp.pad(a, padding, mode="edge")
 
+        timer_render = timer.stage("warp+crop")
+        timer_render.__enter__()
         stabilized_chunks = []  # kept padded so crop_frames compiles once
         crops = []
         for start in range(0, num_frames, chunk):
@@ -185,7 +207,11 @@ class MeshFlowStabilizer:
             for chunk_frames, length in stabilized_chunks
         ]
         cropped = jnp.concatenate(cropped_chunks, axis=0)
+        cropped.block_until_ready()
+        timer_render.__exit__(None, None, None)
 
+        timer_metrics = timer.stage("metrics")
+        timer_metrics.__enter__()
         ratios = []
         distortions = []
         for start in range(0, num_frames, chunk):
@@ -209,6 +235,8 @@ class MeshFlowStabilizer:
         distortion_score = jnp.min(distortions)
 
         stability = stability_score(stab_disp)
+        stability.block_until_ready()
+        timer_metrics.__exit__(None, None, None)
         return cropped, cropping_ratio, distortion_score, stability
 
     # ------------------------------------------------------------------

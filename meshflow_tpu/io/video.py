@@ -18,6 +18,8 @@ from typing import Iterator, Tuple
 import cv2
 import numpy as np
 
+from meshflow_tpu.io import native as native_io
+
 
 class VideoInfo:
     def __init__(self, num_frames: int, fps: float, fourcc: int, height: int, width: int):
@@ -45,7 +47,40 @@ def probe_video(input_path: str) -> VideoInfo:
 
 
 def read_video(input_path: str) -> Tuple[np.ndarray, VideoInfo]:
-    """Decode the whole clip -> ((F, H, W, 3) uint8 BGR, VideoInfo)."""
+    """Decode the whole clip -> ((F, H, W, 3) uint8 BGR, VideoInfo).
+
+    Routes through the native libav runtime (prefetching decoder thread)
+    when built; falls back to cv2.
+    """
+    if native_io.available():
+        reader = native_io.NativeReader(input_path)
+        batches = []
+        while True:
+            batch = reader.read(128)
+            if len(batch) == 0:
+                break
+            batches.append(batch)
+        reader.close()
+        total = sum(len(b) for b in batches)
+        if reader.num_frames and total < reader.num_frames:
+            raise IOError(
+                f"Video at <{input_path}> did not have frame {total} of "
+                f"{reader.num_frames} (indexed from 0)."
+            )
+        stacked = (
+            np.concatenate(batches)
+            if batches
+            else np.zeros((0, 0, 0, 3), np.uint8)
+        )
+        info = VideoInfo(
+            num_frames=total,
+            fps=reader.fps,
+            fourcc=reader.fourcc,
+            height=reader.height,
+            width=reader.width,
+        )
+        return stacked, info
+
     video = cv2.VideoCapture(input_path)
     if not video.isOpened():
         video.release()
@@ -105,10 +140,20 @@ def write_video(
     The reference passes the input fourcc straight through
     (/root/reference/meshflowstabilizer.py:1310-1315) and silently writes
     nothing when that encoder is unavailable (cv2.VideoWriter does not
-    raise).  Defined behavior here: fall back to mp4v so an output always
-    exists, and raise if even that fails.
+    raise).  Defined behavior here: the native libav encoder handles the
+    requested codec (falling back to mpeg4); without the native library,
+    cv2 with an mp4v fallback, raising if even that fails.
     """
     height, width = frames.shape[1:3]
+    if native_io.available():
+        writer = native_io.NativeWriter(output_path, width, height, fps, fourcc)
+        try:
+            written = writer.write(frames)
+        finally:
+            rc = writer.close()
+        if written != len(frames) or rc != 0:
+            raise IOError(f"Native encoder failed for <{output_path}>.")
+        return
     writer = cv2.VideoWriter(output_path, fourcc, fps, (width, height))
     if not writer.isOpened():
         writer.release()

@@ -49,6 +49,7 @@ from meshflow_tpu.render.stabilize import (
 from meshflow_tpu.solver.jacobi import gaussian_band
 from meshflow_tpu.solver.weights import adaptive_weights
 from meshflow_tpu.utils import grid
+from meshflow_tpu.utils.transfer import device_to_host_u8
 
 
 class OnlineState(NamedTuple):
@@ -200,4 +201,4 @@ class OnlineMeshFlowStabilizer:
             self.adaptive_weights_definition,
             self.crop_ratio,
         )
-        return np.asarray(out)
+        return device_to_host_u8(out)

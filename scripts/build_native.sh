@@ -1,0 +1,9 @@
+#!/bin/sh
+# Build the native video IO runtime -> native/libmeshflow_videoio.so
+set -e
+cd "$(dirname "$0")/.."
+g++ -O2 -fPIC -shared -std=c++17 \
+    native/videoio.cpp \
+    -o native/libmeshflow_videoio.so \
+    -lavformat -lavcodec -lavutil -lswscale -lpthread
+echo "built native/libmeshflow_videoio.so"
