@@ -111,13 +111,23 @@ class MeshFlowStabilizer:
             frames = jnp.asarray(frames_np)
             frames.block_until_ready()
 
-        result = self._stabilize_frames(
-            frames, adaptive_weights_definition, h, w, timer
-        )
+        # Host-render path reuses the decoded numpy frames rather than
+        # pulling pixels back off the device.
+        self._frames_np_cache = frames_np
+        try:
+            result = self._stabilize_frames(
+                frames, adaptive_weights_definition, h, w, timer
+            )
+        finally:
+            self._frames_np_cache = None
         cropped, cropping_ratio, distortion_score, stability = result
 
         with timer.stage("device->host"):
-            cropped_np = device_to_host_u8(cropped)
+            cropped_np = (
+                cropped
+                if isinstance(cropped, np.ndarray)
+                else device_to_host_u8(cropped)
+            )
         with timer.stage("encode"):
             video_io.write_video(output_path, cropped_np, info.fps, info.fourcc)
         timer.report()
@@ -170,6 +180,71 @@ class MeshFlowStabilizer:
                 config.optimization_num_iterations,
             )
             stab_disp.block_until_ready()
+
+        # Render routing.  "device": warp/crop on TPU (keeps pixels on
+        # device; right when device<->host bandwidth is symmetric).
+        # "host": fetch only the tiny displacement fields and run the native
+        # C++ warp, pushing cropped frames back up for the metric pass —
+        # right when pulling pixels off the accelerator is expensive (this
+        # environment's transport moves video-entropy data device->host at
+        # <1MB/s while host->device is fast).  "auto": host when the native
+        # library is built.
+        import os as _os
+
+        from meshflow_tpu.render import host as host_render
+
+        mode = _os.environ.get("MESHFLOW_RENDER", "auto")
+        use_host = (
+            host_render.available()
+            if mode == "auto"
+            else mode == "host"
+        )
+        if use_host and host_render.available():
+            with timer.stage("warp+crop (host)"):
+                du_np = np.asarray(motion.displacements)
+                ds_np = np.asarray(stab_disp)
+                frames_np = getattr(self, "_frames_np_cache", None)
+                if frames_np is None or frames_np.shape != frames.shape:
+                    frames_np = device_to_host_u8(frames)
+                stabilized_np, crop_np = host_render.render_stabilized_host(
+                    frames_np, du_np, ds_np, config
+                )
+                cropped_np = host_render.crop_frames_host(stabilized_np, crop_np)
+            with timer.stage("host->device (cropped)"):
+                cropped_dev = jnp.asarray(cropped_np)
+
+            timer_metrics = timer.stage("metrics")
+            timer_metrics.__enter__()
+            ratios = []
+            distortions = []
+
+            def pad_to(a, n):
+                padding = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+                return jnp.pad(a, padding, mode="edge")
+
+            for start in range(0, num_frames, chunk):
+                stop = min(start + chunk, num_frames)
+                kps_c = jax.tree.map(
+                    lambda a: pad_to(a[start:stop], chunk), keypoints
+                )
+                r, d = cropping_and_distortion_scanned(
+                    kps_c,
+                    pad_to(frames[start:stop], chunk),
+                    pad_to(cropped_dev[start:stop], chunk),
+                    jax.random.fold_in(self._key, 2),
+                    jnp.asarray(start, jnp.int32),
+                    config,
+                    h,
+                    w,
+                )
+                ratios.append(r[: stop - start])
+                distortions.append(d[: stop - start])
+            cropping_ratio = jnp.mean(jnp.concatenate(ratios))
+            distortion_score = jnp.min(jnp.concatenate(distortions))
+            stability = stability_score(stab_disp)
+            stability.block_until_ready()
+            timer_metrics.__exit__(None, None, None)
+            return cropped_np, cropping_ratio, distortion_score, stability
 
         # Warp in fixed-size chunks; the video crop is the intersection of
         # the per-chunk crops (/root/reference/meshflowstabilizer.py:1102-1106).

@@ -299,9 +299,12 @@ def ransac_homography(
 
     sampled_early = early[sample_idx]  # (iterations, 4, 2)
     sampled_late = late[sample_idx]
-    ones4 = jnp.ones((iterations, 4), early.dtype)
 
-    h_candidates = jax.vmap(dlt_homography)(sampled_early, sampled_late, ones4)
+    # Closed-form 4-point models: any consistent assignment of the four
+    # correspondences to unit-square corners yields the exact-fit
+    # homography, so no SVD is needed (degenerate samples produce junk
+    # models that simply lose the consensus vote).
+    h_candidates = quad_to_quad_homography(sampled_early, sampled_late)
 
     # Inlier counting: squared reprojection error < threshold^2.
     proj = jax.vmap(lambda h: apply_homography(h, early))(h_candidates)

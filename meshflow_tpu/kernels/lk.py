@@ -334,8 +334,15 @@ def lk_track(
 
             # window offset within the per-feature patch (clamped: see
             # module docstring on the patch-margin divergence)
-            oy = jnp.clip(icy + _PAD - patch_y0, 0, _PATCH_H - (win_size + 1))
-            ox = jnp.clip(icx + _PAD - patch_x0, 0, _PATCH_W - (win_size + 1))
+            oy_raw = icy + _PAD - patch_y0
+            ox_raw = icx + _PAD - patch_x0
+            oy = jnp.clip(oy_raw, 0, _PATCH_H - (win_size + 1))
+            ox = jnp.clip(ox_raw, 0, _PATCH_W - (win_size + 1))
+            # A feature that wandered past the patch margin samples a frozen
+            # window: its delta can never change, so it would spin for the
+            # full iteration budget.  Stop it now (same clamped endpoint).
+            left_patch = (oy_raw != oy) | (ox_raw != ox)
+            still = still & ~left_patch
             wrow = _selection_bilinear(oy, fb, win_size, _PATCH_H)
             wcol = _selection_bilinear(ox, fa, win_size, _PATCH_W)
             tmp = jax.lax.dot_general(

@@ -61,15 +61,17 @@ def cropping_and_distortion_scanned(
     at the caller (which may be driving fixed-size chunks).  Pyramids are
     rebuilt per frame inside the scan (same memory policy as
     motion.pipeline)."""
-    from meshflow_tpu.motion.pipeline import tile_pyramid
+    from meshflow_tpu.motion.pipeline import packed_tile_pyramids, unpack_level
 
     num_frames = unstab_keypoints.valid.shape[0]
     max_level = config.lk_max_level(frame_height, frame_width)
+    packed_un = packed_tile_pyramids(unstab_frames, config, max_level)
+    packed_cr = packed_tile_pyramids(cropped_frames, config, max_level)
 
     def body(carry, t):
         kps_t = jax.tree.map(lambda a: a[t], unstab_keypoints)
-        un_lv = tile_pyramid(unstab_frames[t], config, max_level)
-        cr_lv = tile_pyramid(cropped_frames[t], config, max_level)
+        un_lv = tuple(unpack_level(pk, t) for pk in packed_un)
+        cr_lv = tuple(unpack_level(pk, t) for pk in packed_cr)
         match = match_pair(
             kps_t, un_lv, cr_lv, jax.random.fold_in(key, t + key_offset), config,
             frame_height, frame_width,

@@ -1,0 +1,348 @@
+// Native mesh-warp renderer (host path).
+//
+// Implements the same one-pass algorithm as render/stabilize.py — per-cell
+// closed-form quad homographies, reference mask semantics (pixel belongs to
+// a cell when its inverse-mapped point lands strictly inside the cell's
+// integer bbox expanded by 1 px), later-cell-wins compositing, sentinel
+// backward maps, crop-edge rules, and the anisotropic crop+stretch — as a
+// multithreaded C++ kernel.
+//
+// Why it exists: stabilized displacement fields are tiny ((F, R+1, C+1, 2)
+// floats) while rendered pixels are large.  On deployments where pulling
+// pixels off the accelerator is expensive (this environment's tunnel
+// compresses device->host at <1MB/s on video data), the API can fetch only
+// the displacements and render on host; pushing the cropped frames back up
+// for on-device metric computation rides the fast host->device direction.
+//
+// C ABI consumed via ctypes (meshflow_tpu/render/host.py).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct H33 {
+    double m[9];
+};
+
+// Heckbert unit-square -> quad; corners [(0,0),(1,0),(0,1),(1,1)] order.
+H33 unit_to_quad(const double* q) {
+    // q: 4 corners x (x, y): tl, tr, bl, br
+    const double ax = q[0], ay = q[1];
+    const double bx = q[2], by = q[3];
+    const double cx = q[4], cy = q[5];
+    const double dx_ = q[6], dy_ = q[7];
+    const double sx = ax - bx - cx + dx_;
+    const double sy = ay - by - cy + dy_;
+    const double d1x = bx - dx_, d1y = by - dy_;
+    const double d2x = cx - dx_, d2y = cy - dy_;
+    double den = d1x * d2y - d1y * d2x;
+    if (std::fabs(den) < 1e-12) den = 1e-12;
+    const double g = (sx * d2y - sy * d2x) / den;
+    const double h = (d1x * sy - d1y * sx) / den;
+    H33 out;
+    out.m[0] = bx - ax + g * bx;
+    out.m[1] = cx - ax + h * cx;
+    out.m[2] = ax;
+    out.m[3] = by - ay + g * by;
+    out.m[4] = cy - ay + h * cy;
+    out.m[5] = ay;
+    out.m[6] = g;
+    out.m[7] = h;
+    out.m[8] = 1.0;
+    return out;
+}
+
+H33 adjugate(const H33& m) {
+    const double* a = m.m;
+    H33 out;
+    out.m[0] = a[4] * a[8] - a[5] * a[7];
+    out.m[1] = a[2] * a[7] - a[1] * a[8];
+    out.m[2] = a[1] * a[5] - a[2] * a[4];
+    out.m[3] = a[5] * a[6] - a[3] * a[8];
+    out.m[4] = a[0] * a[8] - a[2] * a[6];
+    out.m[5] = a[2] * a[3] - a[0] * a[5];
+    out.m[6] = a[3] * a[7] - a[4] * a[6];
+    out.m[7] = a[1] * a[6] - a[0] * a[7];
+    out.m[8] = a[0] * a[4] - a[1] * a[3];
+    return out;
+}
+
+H33 matmul(const H33& a, const H33& b) {
+    H33 out;
+    for (int r = 0; r < 3; ++r)
+        for (int c = 0; c < 3; ++c) {
+            double acc = 0;
+            for (int k = 0; k < 3; ++k) acc += a.m[r * 3 + k] * b.m[k * 3 + c];
+            out.m[r * 3 + c] = acc;
+        }
+    return out;
+}
+
+inline long grid_line(long i, long count, long dim) {
+    // ceil((dim-1) * i / count)
+    return ((dim - 1) * i + count - 1) / count;
+}
+
+void parallel_for(long n, const std::function<void(long, long)>& fn) {
+    unsigned int workers = std::max(1u, std::thread::hardware_concurrency());
+    workers = std::min<unsigned long>(workers, static_cast<unsigned long>(n));
+    if (workers <= 1) {
+        fn(0, n);
+        return;
+    }
+    std::vector<std::thread> pool;
+    long chunk = (n + workers - 1) / workers;
+    for (unsigned int t = 0; t < workers; ++t) {
+        long lo = t * chunk;
+        long hi = std::min<long>(n, lo + chunk);
+        if (lo >= hi) break;
+        pool.emplace_back([&fn, lo, hi] { fn(lo, hi); });
+    }
+    for (auto& th : pool) th.join();
+}
+
+}  // namespace
+
+// Render stabilized frames + per-frame crop edges.
+//
+// frames:      (F, H, W, 3) uint8 BGR
+// unstab_disp: (F, VR, VC, 2) float32 (VR = rows+1, VC = cols+1)
+// stab_disp:   (F, VR, VC, 2) float32
+// border:      3 uint8 BGR
+// out_frames:  (F, H, W, 3) uint8 (written)
+// out_edges:   (F, 4) int32 [left, top, right, bottom] (written)
+extern "C" void mf_render(
+    const uint8_t* frames, const float* unstab_disp, const float* stab_disp,
+    long num_frames, long height, long width, long mesh_rows, long mesh_cols,
+    const uint8_t* border, uint8_t* out_frames, int32_t* out_edges) {
+    const long vr = mesh_rows + 1, vc = mesh_cols + 1;
+    const long cells = mesh_rows * mesh_cols;
+
+    parallel_for(num_frames, [&](long f0, long f1) {
+        std::vector<float> map_x(height * width);
+        std::vector<float> map_y(height * width);
+        std::vector<int32_t> pri(height * width);
+        std::vector<H33> hinv(cells);
+
+        for (long f = f0; f < f1; ++f) {
+            const float* du = unstab_disp + f * vr * vc * 2;
+            const float* ds = stab_disp + f * vr * vc * 2;
+
+            // Per-cell inverse homography: stabilized quad -> unstab rect.
+            for (long r = 0; r < mesh_rows; ++r) {
+                for (long c = 0; c < mesh_cols; ++c) {
+                    double stab[8], unstab[8];
+                    int k = 0;
+                    for (int dr = 0; dr < 2; ++dr) {
+                        for (int dc = 0; dc < 2; ++dc) {
+                            long vi = ((r + dr) * vc + (c + dc)) * 2;
+                            double ux = static_cast<double>(
+                                grid_line(c + dc, mesh_cols, width));
+                            double uy = static_cast<double>(
+                                grid_line(r + dr, mesh_rows, height));
+                            unstab[k * 2] = ux;
+                            unstab[k * 2 + 1] = uy;
+                            stab[k * 2] = ux + (ds[vi] - du[vi]);
+                            stab[k * 2 + 1] = uy + (ds[vi + 1] - du[vi + 1]);
+                            ++k;
+                        }
+                    }
+                    hinv[r * mesh_cols + c] =
+                        matmul(unit_to_quad(unstab),
+                               adjugate(unit_to_quad(stab)));
+                }
+            }
+
+            std::fill(map_x.begin(), map_x.end(),
+                      static_cast<float>(width + 1));
+            std::fill(map_y.begin(), map_y.end(),
+                      static_cast<float>(height + 1));
+            std::fill(pri.begin(), pri.end(), -1);
+
+            // Rasterize cells in row-major order (later cells win via
+            // priority compare == overwrite order of the reference).
+            for (long r = 0; r < mesh_rows; ++r) {
+                for (long c = 0; c < mesh_cols; ++c) {
+                    const H33& h = hinv[r * mesh_cols + c];
+                    const double left = grid_line(c, mesh_cols, width);
+                    const double right = grid_line(c + 1, mesh_cols, width);
+                    const double top = grid_line(r, mesh_rows, height);
+                    const double bottom = grid_line(r + 1, mesh_rows, height);
+                    // stabilized-space bbox of this cell's quad (+2 slack)
+                    double minx = 1e30, maxx = -1e30, miny = 1e30,
+                           maxy = -1e30;
+                    for (int dr = 0; dr < 2; ++dr)
+                        for (int dc = 0; dc < 2; ++dc) {
+                            long vi = ((r + dr) * vc + (c + dc)) * 2;
+                            double sxp =
+                                grid_line(c + dc, mesh_cols, width) +
+                                (ds[vi] - du[vi]);
+                            double syp =
+                                grid_line(r + dr, mesh_rows, height) +
+                                (ds[vi + 1] - du[vi + 1]);
+                            minx = std::min(minx, sxp);
+                            maxx = std::max(maxx, sxp);
+                            miny = std::min(miny, syp);
+                            maxy = std::max(maxy, syp);
+                        }
+                    long x0 = std::max<long>(0, (long)std::floor(minx) - 2);
+                    long x1 = std::min<long>(width - 1,
+                                             (long)std::ceil(maxx) + 2);
+                    long y0 = std::max<long>(0, (long)std::floor(miny) - 2);
+                    long y1 = std::min<long>(height - 1,
+                                             (long)std::ceil(maxy) + 2);
+                    int32_t key = static_cast<int32_t>(r * mesh_cols + c);
+                    for (long y = y0; y <= y1; ++y) {
+                        for (long x = x0; x <= x1; ++x) {
+                            double d = h.m[6] * x + h.m[7] * y + h.m[8];
+                            if (std::fabs(d) < 1e-12) continue;
+                            double qx =
+                                (h.m[0] * x + h.m[1] * y + h.m[2]) / d;
+                            double qy =
+                                (h.m[3] * x + h.m[4] * y + h.m[5]) / d;
+                            if (qx > left - 1.0 && qx < right + 1.0 &&
+                                qy > top - 1.0 && qy < bottom + 1.0) {
+                                long idx = y * width + x;
+                                if (key > pri[idx]) {
+                                    pri[idx] = key;
+                                    map_x[idx] = static_cast<float>(qx);
+                                    map_y[idx] = static_cast<float>(qy);
+                                }
+                            }
+                        }
+                    }
+                }
+            }
+
+            // Remap (bilinear, constant border) + crop-edge scan.
+            const uint8_t* src = frames + f * height * width * 3;
+            uint8_t* dst = out_frames + f * height * width * 3;
+            long e_left = 0, e_right = width - 1, e_top = 0,
+                 e_bottom = height - 1;
+            bool f_left = false, f_right = false, f_top = false,
+                 f_bottom = false;
+            for (long y = 0; y < height; ++y) {
+                for (long x = 0; x < width; ++x) {
+                    long idx = y * width + x;
+                    float mx = map_x[idx], my = map_y[idx];
+                    // crop-edge rules (reference :1075-1098)
+                    if (std::fabs(mx) < 1.0f) {
+                        if (!f_left || x > e_left) e_left = x;
+                        f_left = true;
+                    }
+                    if (std::fabs(mx - (width - 1)) < 1.0f) {
+                        if (!f_right || x < e_right) e_right = x;
+                        f_right = true;
+                    }
+                    if (std::fabs(my) < 1.0f) {
+                        if (!f_top || y > e_top) e_top = y;
+                        f_top = true;
+                    }
+                    if (std::fabs(my - (height - 1)) < 1.0f) {
+                        if (!f_bottom || y < e_bottom) e_bottom = y;
+                        f_bottom = true;
+                    }
+                    uint8_t* px = dst + idx * 3;
+                    if (pri[idx] < 0) {
+                        px[0] = border[0];
+                        px[1] = border[1];
+                        px[2] = border[2];
+                        continue;
+                    }
+                    double fx0 = std::floor(mx), fy0 = std::floor(my);
+                    double ax = mx - fx0, ay = my - fy0;
+                    long ix0 = (long)fx0, iy0 = (long)fy0;
+                    for (int ch = 0; ch < 3; ++ch) {
+                        double acc = 0;
+                        for (int dy = 0; dy < 2; ++dy) {
+                            for (int dx2 = 0; dx2 < 2; ++dx2) {
+                                long tx = ix0 + dx2, ty = iy0 + dy;
+                                double wgt = (dx2 ? ax : 1.0 - ax) *
+                                             (dy ? ay : 1.0 - ay);
+                                double v;
+                                if (tx < 0 || tx >= width || ty < 0 ||
+                                    ty >= height)
+                                    v = border[ch];
+                                else
+                                    v = src[(ty * width + tx) * 3 + ch];
+                                acc += wgt * v;
+                            }
+                        }
+                        double rounded = std::nearbyint(acc);
+                        px[ch] = (uint8_t)std::min(
+                            255.0, std::max(0.0, rounded));
+                    }
+                }
+            }
+            out_edges[f * 4 + 0] = (int32_t)e_left;
+            out_edges[f * 4 + 1] = (int32_t)e_top;
+            out_edges[f * 4 + 2] = (int32_t)e_right;
+            out_edges[f * 4 + 3] = (int32_t)e_bottom;
+        }
+    });
+}
+
+// Crop [left, top, right, bottom] (inclusive) and bilinear-stretch back to
+// (W, H) with cv2.resize half-pixel semantics and edge clamping.
+extern "C" void mf_crop_resize(
+    const uint8_t* frames, long num_frames, long height, long width,
+    int32_t left, int32_t top, int32_t right, int32_t bottom,
+    uint8_t* out_frames) {
+    const double crop_w = right - left + 1;
+    const double crop_h = bottom - top + 1;
+    const double sx = crop_w / width;
+    const double sy = crop_h / height;
+
+    std::vector<double> xs(width), ys(height);
+    std::vector<long> xi(width), yi(height);
+    std::vector<double> xf(width), yf(height);
+    for (long x = 0; x < width; ++x) {
+        double v = (x + 0.5) * sx - 0.5;
+        v = std::min(std::max(v, 0.0), crop_w - 1.0);
+        xs[x] = v + left;
+        xi[x] = (long)std::floor(xs[x]);
+        xf[x] = xs[x] - xi[x];
+    }
+    for (long y = 0; y < height; ++y) {
+        double v = (y + 0.5) * sy - 0.5;
+        v = std::min(std::max(v, 0.0), crop_h - 1.0);
+        ys[y] = v + top;
+        yi[y] = (long)std::floor(ys[y]);
+        yf[y] = ys[y] - yi[y];
+    }
+
+    parallel_for(num_frames, [&](long f0, long f1) {
+        for (long f = f0; f < f1; ++f) {
+            const uint8_t* src = frames + f * height * width * 3;
+            uint8_t* dst = out_frames + f * height * width * 3;
+            for (long y = 0; y < height; ++y) {
+                long y0 = yi[y];
+                long y1 = std::min<long>(y0 + 1, height - 1);
+                double ay = yf[y];
+                for (long x = 0; x < width; ++x) {
+                    long x0 = xi[x];
+                    long x1 = std::min<long>(x0 + 1, width - 1);
+                    double ax = xf[x];
+                    const uint8_t* p00 = src + (y0 * width + x0) * 3;
+                    const uint8_t* p01 = src + (y0 * width + x1) * 3;
+                    const uint8_t* p10 = src + (y1 * width + x0) * 3;
+                    const uint8_t* p11 = src + (y1 * width + x1) * 3;
+                    uint8_t* px = dst + (y * width + x) * 3;
+                    for (int ch = 0; ch < 3; ++ch) {
+                        double v = (1 - ay) * ((1 - ax) * p00[ch] +
+                                               ax * p01[ch]) +
+                                   ay * ((1 - ax) * p10[ch] + ax * p11[ch]);
+                        px[ch] = (uint8_t)std::min(
+                            255.0, std::max(0.0, std::nearbyint(v)));
+                    }
+                }
+            }
+        }
+    });
+}
