@@ -35,10 +35,10 @@ carry the bilinear weights (two nonzeros per row).  Per level:
    MXU/VPU work with no gathers.
 
 Divergence from OpenCV: if an iterate wanders more than the patch margin
-(+-17 px vertically, +-21 px horizontally at a single level) from its
-initial estimate, sampling clamps to the patch edge instead of re-reading
-the image.  Such tracks are almost always lost/garbage anyway; parity is
-gated on end metrics.
+from its initial estimate (+-37 px at the top pyramid level, which carries
+the whole unknown motion; +-17/21 px at refinement levels), sampling clamps
+to the patch edge instead of re-reading the image.  Such tracks are almost
+always lost/garbage anyway; parity is gated on end metrics.
 
 OpenCV's int16/Q5 window quantization is replaced by float32, which moves
 endpoints by ~1e-2 px; oracle tests are tolerance-based.
@@ -57,10 +57,13 @@ import jax.numpy as jnp
 _SEL_PRECISION = jax.lax.Precision.HIGH
 
 _PAD = 22  # window corner may lie in [-21, cols-1]; reads span +-(21+1)
-_PATCH_H = 56  # next-image patch: 22 + 2*17 vertical margin
-_PATCH_W = 64  # 22 + 2*21 horizontal margin
-_MARGIN_Y = (_PATCH_H - 22) // 2
-_MARGIN_X = (_PATCH_W - 22) // 2
+
+# Next-image patch sizes per pyramid position.  The top level carries the
+# whole unknown displacement (initial estimate is the prev point), so its
+# patch must cover large motions; lower levels only refine by a few pixels.
+# Top-level images are the smallest, so the large patch is cheap there.
+_PATCH_TOP = (96, 96)     # +-37/+-37 px margin at the top level
+_PATCH_LOWER = (56, 64)   # +-17/+-21 px at refinement levels
 
 
 def scharr_deriv(img: jnp.ndarray):
@@ -304,14 +307,19 @@ def lk_track(
         inv_det = jnp.where(det == 0, 0.0, 1.0 / det)
 
         # --- next-image patch around the initial estimate, once ------------
-        patch_y0 = jnp.floor(next_corner[:, 1]).astype(jnp.int32) - _MARGIN_Y
-        patch_x0 = jnp.floor(next_corner[:, 0]).astype(jnp.int32) - _MARGIN_X
-        patch_y0 = jnp.clip(patch_y0 + _PAD, 0, hpad - _PATCH_H)
-        patch_x0 = jnp.clip(patch_x0 + _PAD, 0, wpad - _PATCH_W)
+        patch_h, patch_w = _PATCH_TOP if level == max_level else _PATCH_LOWER
+        patch_h = min(patch_h, hpad)
+        patch_w = min(patch_w, wpad)
+        margin_y = (patch_h - (win_size + 1)) // 2
+        margin_x = (patch_w - (win_size + 1)) // 2
+        patch_y0 = jnp.floor(next_corner[:, 1]).astype(jnp.int32) - margin_y
+        patch_x0 = jnp.floor(next_corner[:, 0]).astype(jnp.int32) - margin_x
+        patch_y0 = jnp.clip(patch_y0 + _PAD, 0, hpad - patch_h)
+        patch_x0 = jnp.clip(patch_x0 + _PAD, 0, wpad - patch_w)
         jpatch = jnp.swapaxes(
-            _extract_windows(n_img, patch_y0, patch_x0, _PATCH_H, _PATCH_W),
+            _extract_windows(n_img, patch_y0, patch_x0, patch_h, patch_w),
             0, 1,
-        )  # (N, C, PATCH_H, PATCH_W)
+        )  # (N, C, patch_h, patch_w)
 
         def iter_cond(state):
             j, _, active, _, _ = state
@@ -336,15 +344,15 @@ def lk_track(
             # module docstring on the patch-margin divergence)
             oy_raw = icy + _PAD - patch_y0
             ox_raw = icx + _PAD - patch_x0
-            oy = jnp.clip(oy_raw, 0, _PATCH_H - (win_size + 1))
-            ox = jnp.clip(ox_raw, 0, _PATCH_W - (win_size + 1))
+            oy = jnp.clip(oy_raw, 0, patch_h - (win_size + 1))
+            ox = jnp.clip(ox_raw, 0, patch_w - (win_size + 1))
             # A feature that wandered past the patch margin samples a frozen
             # window: its delta can never change, so it would spin for the
             # full iteration budget.  Stop it now (same clamped endpoint).
             left_patch = (oy_raw != oy) | (ox_raw != ox)
             still = still & ~left_patch
-            wrow = _selection_bilinear(oy, fb, win_size, _PATCH_H)
-            wcol = _selection_bilinear(ox, fa, win_size, _PATCH_W)
+            wrow = _selection_bilinear(oy, fb, win_size, patch_h)
+            wcol = _selection_bilinear(ox, fa, win_size, patch_w)
             tmp = jax.lax.dot_general(
                 wrow, jpatch, (((2,), (2,)), ((0,), (0,))),
                 precision=_SEL_PRECISION,
