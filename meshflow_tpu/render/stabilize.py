@@ -73,14 +73,9 @@ def _grid_line_y(r, frame_height, mesh_row_count):
     return -(-((frame_height - 1) * r) // mesh_row_count)
 
 
-def _apply_h_table(
+def _apply_h_table_block(
     cell_ids: jnp.ndarray, h_table: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray
 ):
-    """Apply per-pixel cell homographies via one-hot MXU contraction.
-
-    cell_ids: (P,) int32 in [0, cells); h_table: (cells, 3, 3);
-    px, py: (P,) pixel coords.  Returns (qx, qy): (P,).
-    """
     cells = h_table.shape[0]
     onehot = (
         cell_ids[:, None] == jnp.arange(cells, dtype=jnp.int32)[None, :]
@@ -94,6 +89,35 @@ def _apply_h_table(
     qx = (hflat[:, 0] * px + hflat[:, 1] * py + hflat[:, 2]) / d
     qy = (hflat[:, 3] * px + hflat[:, 4] * py + hflat[:, 5]) / d
     return qx, qy
+
+
+_ONEHOT_BUDGET = 1 << 26  # elements: caps the (P, cells) one-hot at ~256MB
+
+
+def _apply_h_table(
+    cell_ids: jnp.ndarray, h_table: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray
+):
+    """Apply per-pixel cell homographies via one-hot MXU contraction.
+
+    cell_ids: (P,) int32 in [0, cells); h_table: (cells, 3, 3);
+    px, py: (P,) pixel coords.  Returns (qx, qy): (P,).  Pixels are
+    chunked so the one-hot stays bounded for dense meshes (64x64 = 4096
+    cells would otherwise materialize multi-GB intermediates).
+    """
+    cells = h_table.shape[0]
+    p = cell_ids.shape[0]
+    if p * cells <= _ONEHOT_BUDGET:
+        return _apply_h_table_block(cell_ids, h_table, px, py)
+    chunk = max(1, _ONEHOT_BUDGET // cells)
+    chunk = min(chunk, p)
+    pad = (-p) % chunk
+    def padded(a):
+        return jnp.pad(a, (0, pad)).reshape(-1, chunk)
+    qx, qy = jax.lax.map(
+        lambda args: _apply_h_table_block(args[0], h_table, args[1], args[2]),
+        (padded(cell_ids), padded(px), padded(py)),
+    )
+    return qx.reshape(-1)[:p], qy.reshape(-1)[:p]
 
 
 class BackwardMap(NamedTuple):
