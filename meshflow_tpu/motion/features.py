@@ -25,7 +25,6 @@ Ragged OpenCV arrays become fixed-capacity (S, K) tensors with masks.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

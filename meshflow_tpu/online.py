@@ -42,7 +42,6 @@ from meshflow_tpu.motion.pipeline import tile_pyramid
 from meshflow_tpu.motion.propagate import vertex_velocities
 from meshflow_tpu.render.stabilize import (
     backward_map,
-    bilinear_sample,
     crop_resize_frame,
     warp_frame,
 )

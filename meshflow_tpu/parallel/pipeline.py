@@ -33,13 +33,7 @@ from meshflow_tpu.motion.pipeline import (
     pair_velocity_scan,
 )
 from meshflow_tpu.kernels.color import bgr_to_gray
-from meshflow_tpu.render.stabilize import (
-    crop_edges,
-    backward_map,
-    bilinear_sample,
-    crop_frames,
-    render_stabilized,
-)
+from meshflow_tpu.render.stabilize import crop_frames, render_stabilized
 from meshflow_tpu.solver.jacobi import jacobi_smooth
 from meshflow_tpu.solver.weights import adaptive_weights
 from meshflow_tpu.utils import grid
