@@ -261,6 +261,12 @@ extern "C" MfWriter* mf_writer_open(const char* path, int w, int h,
     AVRational tb = av_d2q(1.0 / (fps > 0 ? fps : 30.0), 100000);
     wr->enc->time_base = tb;
     wr->stream->time_base = tb;
+    // Declare the nominal rate; otherwise probers estimate fps as
+    // nb_frames/duration, which is off by one interval on short clips.
+    AVRational rate = av_d2q(fps > 0 ? fps : 30.0, 100000);
+    wr->enc->framerate = rate;
+    wr->stream->avg_frame_rate = rate;
+    wr->stream->r_frame_rate = rate;
     wr->enc->bit_rate = static_cast<int64_t>(0.2 * w * h * (fps > 0 ? fps : 30));
     if (wr->fmt->oformat->flags & AVFMT_GLOBALHEADER)
         wr->enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
