@@ -34,11 +34,11 @@ carry the bilinear weights (two nonzeros per row).  Per level:
    patch with bilinear selection matmuls, so the while_loop body is pure
    MXU/VPU work with no gathers.
 
-Divergence from OpenCV: if an iterate wanders more than the patch margin
-from its initial estimate (+-37 px at the top pyramid level, which carries
-the whole unknown motion; +-17/21 px at refinement levels), sampling clamps
-to the patch edge instead of re-reading the image.  Such tracks are almost
-always lost/garbage anyway; parity is gated on end metrics.
+Iterates that wander past the cached patch margin (+-37 px at the top
+pyramid level, +-17/21 px at refinement levels) pause and resume in a fresh
+patch re-centered on their estimate (up to 3 fetch rounds per level, with a
+per-feature iteration budget matching OpenCV's criteria), so large motions
+are followed rather than clamped.
 
 OpenCV's int16/Q5 window quantization is replaced by float32, which moves
 endpoints by ~1e-2 px; oracle tests are tolerance-based.
@@ -306,93 +306,123 @@ def lk_track(
 
         inv_det = jnp.where(det == 0, 0.0, 1.0 / det)
 
-        # --- next-image patch around the initial estimate, once ------------
         patch_h, patch_w = _PATCH_TOP if level == max_level else _PATCH_LOWER
         patch_h = min(patch_h, hpad)
         patch_w = min(patch_w, wpad)
         margin_y = (patch_h - (win_size + 1)) // 2
         margin_x = (patch_w - (win_size + 1)) // 2
-        patch_y0 = jnp.floor(next_corner[:, 1]).astype(jnp.int32) - margin_y
-        patch_x0 = jnp.floor(next_corner[:, 0]).astype(jnp.int32) - margin_x
-        patch_y0 = jnp.clip(patch_y0 + _PAD, 0, hpad - patch_h)
-        patch_x0 = jnp.clip(patch_x0 + _PAD, 0, wpad - patch_w)
-        jpatch = jnp.swapaxes(
-            _extract_windows(n_img, patch_y0, patch_x0, patch_h, patch_w),
-            0, 1,
-        )  # (N, C, patch_h, patch_w)
 
-        def iter_cond(state):
-            j, _, active, _, _ = state
-            return (j < max_iters) & jnp.any(active)
+        def solve_round(round_state, _):
+            """One patch-fetch + iterate round.
 
-        def iter_body(state):
-            j, corner, active, prev_delta, st = state
-            icx = jnp.floor(corner[:, 0])
-            icy = jnp.floor(corner[:, 1])
-            fa = corner[:, 0] - icx
-            fb = corner[:, 1] - icy
-            icx = icx.astype(jnp.int32)
-            icy = icy.astype(jnp.int32)
-            inb = (
-                (icx >= -win_size) & (icx < cols) & (icy >= -win_size) & (icy < rows)
+            Features that wander past the patch margin pause (their window
+            would freeze); the next round re-fetches a patch centered on
+            their current estimate and resumes, so large motions follow
+            OpenCV instead of clamping.
+            """
+            corner0, finished, st0, used0 = round_state
+            patch_y0 = jnp.floor(corner0[:, 1]).astype(jnp.int32) - margin_y
+            patch_x0 = jnp.floor(corner0[:, 0]).astype(jnp.int32) - margin_x
+            patch_y0 = jnp.clip(patch_y0 + _PAD, 0, hpad - patch_h)
+            patch_x0 = jnp.clip(patch_x0 + _PAD, 0, wpad - patch_w)
+            jpatch = jnp.swapaxes(
+                _extract_windows(n_img, patch_y0, patch_x0, patch_h, patch_w),
+                0, 1,
+            )  # (N, C, patch_h, patch_w)
+
+            def iter_cond(state):
+                j, _, active, _, _, _, _ = state
+                return (j < max_iters) & jnp.any(active)
+
+            def iter_body(state):
+                j, corner, active, prev_delta, st, done, used = state
+                icx = jnp.floor(corner[:, 0])
+                icy = jnp.floor(corner[:, 1])
+                fa = corner[:, 0] - icx
+                fb = corner[:, 1] - icy
+                icx = icx.astype(jnp.int32)
+                icy = icy.astype(jnp.int32)
+                inb = (
+                    (icx >= -win_size) & (icx < cols)
+                    & (icy >= -win_size) & (icy < rows)
+                )
+                if level == 0:
+                    st = st & (inb | ~active)
+                done = done | (active & ~inb)  # out of image: stop for good
+                still = active & inb
+
+                oy_raw = icy + _PAD - patch_y0
+                ox_raw = icx + _PAD - patch_x0
+                oy = jnp.clip(oy_raw, 0, patch_h - (win_size + 1))
+                ox = jnp.clip(ox_raw, 0, patch_w - (win_size + 1))
+                # Past the margin: pause this round (not marked done, so the
+                # next solve_round resumes from a re-centered patch).
+                left_patch = (oy_raw != oy) | (ox_raw != ox)
+                still = still & ~left_patch
+                wrow = _selection_bilinear(oy, fb, win_size, patch_h)
+                wcol = _selection_bilinear(ox, fa, win_size, patch_w)
+                tmp = jax.lax.dot_general(
+                    wrow, jpatch, (((2,), (2,)), ((0,), (0,))),
+                    precision=_SEL_PRECISION,
+                )  # (N, win, C, patch_w)
+                jwin = jax.lax.dot_general(
+                    tmp, wcol, (((3,), (2,)), ((0,), (0,))),
+                    precision=_SEL_PRECISION,
+                )  # (N, win, C, win)
+                jwin = jnp.swapaxes(jwin, 1, 2)  # (N, C, win, win)
+
+                diff = jwin - iwin
+                b1 = jnp.sum(diff * gxwin, axis=(1, 2, 3)) * cv_scale
+                b2 = jnp.sum(diff * gywin, axis=(1, 2, 3)) * cv_scale
+                dx = (a12c * b2 - a22c * b1) * inv_det
+                dy = (a12c * b1 - a11c * b2) * inv_det
+                delta = jnp.stack([dx, dy], axis=-1)
+
+                new_corner = jnp.where(still[:, None], corner + delta, corner)
+
+                converged = jnp.sum(delta * delta, axis=-1) <= eps2
+                oscillating = (j > 0) & (
+                    (jnp.abs(delta[:, 0] + prev_delta[:, 0]) < 0.01)
+                    & (jnp.abs(delta[:, 1] + prev_delta[:, 1]) < 0.01)
+                )
+                new_corner = jnp.where(
+                    (still & oscillating)[:, None],
+                    new_corner - delta * 0.5, new_corner,
+                )
+                # Per-feature iteration budget matches OpenCV's criteria
+                # even across patch-refresh rounds.
+                used = used + still.astype(jnp.int32)
+                exhausted = used >= max_iters
+                done = done | (still & (converged | oscillating | exhausted))
+                new_active = still & ~converged & ~oscillating & ~exhausted
+                return j + 1, new_corner, new_active, delta, st, done, used
+
+            active_in = active0 & ~finished
+            _, corner_end, _, _, st_end, done_end, used_end = jax.lax.while_loop(
+                iter_cond,
+                iter_body,
+                (
+                    jnp.asarray(0, jnp.int32),
+                    corner0,
+                    active_in,
+                    jnp.zeros_like(corner0),
+                    st0,
+                    finished,
+                    used0,
+                ),
             )
-            if level == 0:
-                st = st & (inb | ~active)
-            still = active & inb
+            return (corner_end, done_end, st_end, used_end), None
 
-            # window offset within the per-feature patch (clamped: see
-            # module docstring on the patch-margin divergence)
-            oy_raw = icy + _PAD - patch_y0
-            ox_raw = icx + _PAD - patch_x0
-            oy = jnp.clip(oy_raw, 0, patch_h - (win_size + 1))
-            ox = jnp.clip(ox_raw, 0, patch_w - (win_size + 1))
-            # A feature that wandered past the patch margin samples a frozen
-            # window: its delta can never change, so it would spin for the
-            # full iteration budget.  Stop it now (same clamped endpoint).
-            left_patch = (oy_raw != oy) | (ox_raw != ox)
-            still = still & ~left_patch
-            wrow = _selection_bilinear(oy, fb, win_size, patch_h)
-            wcol = _selection_bilinear(ox, fa, win_size, patch_w)
-            tmp = jax.lax.dot_general(
-                wrow, jpatch, (((2,), (2,)), ((0,), (0,))),
-                precision=_SEL_PRECISION,
-            )  # (N, win, C, PATCH_W)
-            jwin = jax.lax.dot_general(
-                tmp, wcol, (((3,), (2,)), ((0,), (0,))),
-                precision=_SEL_PRECISION,
-            )  # (N, win, C, win)
-            jwin = jnp.swapaxes(jwin, 1, 2)  # (N, C, win, win)
-
-            diff = jwin - iwin
-            b1 = jnp.sum(diff * gxwin, axis=(1, 2, 3)) * cv_scale
-            b2 = jnp.sum(diff * gywin, axis=(1, 2, 3)) * cv_scale
-            dx = (a12c * b2 - a22c * b1) * inv_det
-            dy = (a12c * b1 - a11c * b2) * inv_det
-            delta = jnp.stack([dx, dy], axis=-1)
-
-            new_corner = jnp.where(still[:, None], corner + delta, corner)
-
-            converged = jnp.sum(delta * delta, axis=-1) <= eps2
-            oscillating = (j > 0) & (
-                (jnp.abs(delta[:, 0] + prev_delta[:, 0]) < 0.01)
-                & (jnp.abs(delta[:, 1] + prev_delta[:, 1]) < 0.01)
-            )
-            new_corner = jnp.where(
-                (still & oscillating)[:, None], new_corner - delta * 0.5, new_corner
-            )
-            new_active = still & ~converged & ~oscillating
-            return j + 1, new_corner, new_active, delta, st
-
-        _, next_corner, _, _, status = jax.lax.while_loop(
-            iter_cond,
-            iter_body,
+        (next_corner, _, status, _), _ = jax.lax.scan(
+            solve_round,
             (
-                jnp.asarray(0, jnp.int32),
                 next_corner,
-                active0,
-                jnp.zeros_like(next_corner),
+                jnp.zeros_like(valid),
                 status,
+                jnp.zeros(valid.shape, jnp.int32),
             ),
+            None,
+            length=3,
         )
         next_pts = next_corner + half
 
