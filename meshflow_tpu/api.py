@@ -143,9 +143,10 @@ class MeshFlowStabilizer:
 
     # ------------------------------------------------------------------
     # Frame-axis chunk size: one compiled scan per (H, W, config) serves any
-    # clip length, per-call device time stays bounded, and high-resolution
+    # clip length, per-call device time stays bounded (this environment's
+    # TPU worker kills executions that run too long), and high-resolution
     # working sets never exceed a chunk.
-    CHUNK = 128
+    CHUNK = 64
 
     def _stabilize_frames(
         self, frames, adaptive_weights_definition, h, w, timer=None
