@@ -146,14 +146,18 @@ def write_video(
     """
     height, width = frames.shape[1:3]
     if native_io.available():
-        writer = native_io.NativeWriter(output_path, width, height, fps, fourcc)
         try:
-            written = writer.write(frames)
-        finally:
-            rc = writer.close()
-        if written != len(frames) or rc != 0:
-            raise IOError(f"Native encoder failed for <{output_path}>.")
-        return
+            writer = native_io.NativeWriter(output_path, width, height, fps, fourcc)
+        except IOError:
+            writer = None  # codec/container outside libav runtime -> cv2 below
+        if writer is not None:
+            try:
+                written = writer.write(frames)
+            finally:
+                rc = writer.close()
+            if written != len(frames) or rc != 0:
+                raise IOError(f"Native encoder failed for <{output_path}>.")
+            return
     writer = cv2.VideoWriter(output_path, fourcc, fps, (width, height))
     if not writer.isOpened():
         writer.release()
