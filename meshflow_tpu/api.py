@@ -33,7 +33,7 @@ from meshflow_tpu.solver.jacobi import jacobi_smooth
 from meshflow_tpu.solver.weights import adaptive_weights
 from meshflow_tpu.utils import grid
 from meshflow_tpu.utils.profiling import StageTimer
-from meshflow_tpu.utils.transfer import device_to_host_u8
+from meshflow_tpu.utils.transfer import device_to_host_u8, sync
 
 
 class MeshFlowStabilizer:
@@ -109,7 +109,7 @@ class MeshFlowStabilizer:
         num_frames, h, w = frames_np.shape[:3]
         with timer.stage("host->device"):
             frames = jnp.asarray(frames_np)
-            frames.block_until_ready()
+            sync(frames)
 
         # Host-render path reuses the decoded numpy frames rather than
         # pulling pixels back off the device.
@@ -162,13 +162,13 @@ class MeshFlowStabilizer:
 
         with timer.stage("detect"):
             keypoints, _ = prepare_frames(frames, config)
-            keypoints.valid.block_until_ready()
+            sync(keypoints.valid)
         with timer.stage("motion"):
             motion = estimate_motion_chunked(
                 keypoints, frames, jax.random.fold_in(self._key, 1), config, h, w,
                 chunk_pairs=max(chunk - 1, 1),
             )
-            motion.displacements.block_until_ready()
+            sync(motion.displacements)
 
         with timer.stage("solver"):
             lambdas = adaptive_weights(
@@ -180,7 +180,7 @@ class MeshFlowStabilizer:
                 config.temporal_smoothing_radius,
                 config.optimization_num_iterations,
             )
-            stab_disp.block_until_ready()
+            sync(stab_disp)
 
         # Render routing.  "device": warp/crop on TPU (keeps pixels on
         # device; right when device<->host bandwidth is symmetric).
@@ -243,7 +243,7 @@ class MeshFlowStabilizer:
             cropping_ratio = jnp.mean(jnp.concatenate(ratios))
             distortion_score = jnp.min(jnp.concatenate(distortions))
             stability = stability_score(stab_disp)
-            stability.block_until_ready()
+            sync(cropping_ratio, distortion_score, stability)
             timer_metrics.__exit__(None, None, None)
             return cropped_np, cropping_ratio, distortion_score, stability
 
@@ -283,7 +283,7 @@ class MeshFlowStabilizer:
             for chunk_frames, length in stabilized_chunks
         ]
         cropped = jnp.concatenate(cropped_chunks, axis=0)
-        cropped.block_until_ready()
+        sync(cropped)
         timer_render.__exit__(None, None, None)
 
         timer_metrics = timer.stage("metrics")
@@ -311,7 +311,7 @@ class MeshFlowStabilizer:
         distortion_score = jnp.min(distortions)
 
         stability = stability_score(stab_disp)
-        stability.block_until_ready()
+        sync(cropping_ratio, distortion_score, stability)
         timer_metrics.__exit__(None, None, None)
         return cropped, cropping_ratio, distortion_score, stability
 

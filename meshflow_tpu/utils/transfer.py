@@ -14,6 +14,18 @@ import jax
 import jax.numpy as jnp
 
 
+def sync(*arrays) -> None:
+    """Block until the computations producing ``arrays`` have executed.
+
+    On this environment's TPU tunnel ``block_until_ready()`` returns before
+    execution finishes; only a data pull synchronizes.  Pulling one scalar
+    (4 bytes) is enough and costs only the round-trip latency.
+    """
+    for x in arrays:
+        if isinstance(x, jnp.ndarray) and x.size:
+            jax.device_get(x.reshape(-1)[0].astype(jnp.float32))
+
+
 def device_to_host_u8(x: jnp.ndarray) -> np.ndarray:
     """Fetch a uint8 device array as numpy via a uint32 bitcast."""
     assert x.dtype == jnp.uint8
