@@ -43,8 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 WIN = 21  # OpenCV default window (win_size)
 HALF = (WIN - 1) * 0.5
 PR = 24  # prev patch rows/cols: 22 bilinear support + 1-px Scharr ring
-PN = 40  # next patch rows/cols: 22 support + 2*9 wander margin
-MARGIN = (PN - 24) // 2  # 8: patch recentre slack each side
+PN_TOP = 72  # top-level next patch: large margin, big motions live here
+PN_LOWER = 40  # refinement-level next patch: 22 support + 2*8 margin
 PAD = 28  # REFLECT_101 plane padding; >= WIN + PR margin everywhere
 ROUNDS = 4  # patch-refresh rounds per level
 CV_SCALE = 1.0 / 1024.0  # Scharr is 32x unit gradient; OpenCV's FLT_SCALE
@@ -67,17 +67,11 @@ def _expand(v, stride):
 def _lk_level_kernel(
     prev_ref,
     next_ref,
-    pts_ref,
-    guess_ref,
-    valid_ref,
-    stin_ref,
-    out_pts_ref,
-    out_st_ref,
+    feat_ref,
+    out_ref,
     pimg_s,
     nimg_s,
-    iwin_s,
-    gxw_s,
-    gyw_s,
+    win_s,
     jpatch_s,
     praw_s,
     *,
@@ -91,358 +85,397 @@ def _lk_level_kernel(
     eps: float,
     min_eig_threshold: float,
     is_level0: bool,
+    nb: int,
+    pn: int,
 ):
     B = block
     C = num_ch
+    margin = (pn - PR) // 2
     eps2 = eps * eps
     win_area = float(WIN * WIN)
 
-    pts = pts_ref[0, 0, 0]  # (B, 2) prev corner (level coords, already -HALF)
-    guess0 = guess_ref[0, 0, 0]  # (B, 2) initial next corner
-    valid = valid_ref[0, 0, 0]  # (B, 1) int32
-    st_in = stin_ref[0, 0, 0]  # (B, 1) int32
+    # Default pass-through (overwritten per block with valid features).
+    # feat rows: [px, py, guess_x, guess_y, valid, status, 0, 0]
+    out_ref[0, 0, :, :, 0:2] = feat_ref[0, 0, :, :, 2:4]
+    out_ref[0, 0, :, :, 2:3] = feat_ref[0, 0, :, :, 5:6]
 
-    # Default pass-through (overwritten when the block has valid features).
-    out_pts_ref[0, 0, 0] = guess0
-    out_st_ref[0, 0, 0] = st_in
+    # planes: uint8 -> f32 pages once per (pair, tile) program
+    def conv_body(c, _):
+        pimg_s[c] = prev_ref[0, 0, c].astype(jnp.int32).astype(jnp.float32)
+        nimg_s[c] = next_ref[0, 0, c].astype(jnp.int32).astype(jnp.float32)
+        return 0
 
-    @pl.when(jnp.any(valid > 0))
-    def _run():
-        # ---- planes: uint8 -> f32 pages, one channel per fori step -------
-        def conv_body(c, _):
-            pimg_s[c] = prev_ref[0, 0, c].astype(jnp.int32).astype(jnp.float32)
-            nimg_s[c] = next_ref[0, 0, c].astype(jnp.int32).astype(jnp.float32)
-            return 0
+    jax.lax.fori_loop(0, C, conv_body, 0)
 
-        jax.lax.fori_loop(0, C, conv_body, 0)
+    def block_body(jb, _carry):
+        blk = feat_ref[0, 0, jb]  # (B, 8)
+        pts = blk[:, 0:2]  # level coords - HALF
+        guess0 = blk[:, 2:4]
+        valid = blk[:, 4:5].astype(jnp.int32)
+        st_in = blk[:, 5:6].astype(jnp.int32)
 
-        px = pts[:, 0:1]  # (B,1)
-        py = pts[:, 1:2]
-        ipx = jnp.floor(px)
-        ipy = jnp.floor(py)
-        fa = px - ipx  # x fraction
-        fb = py - ipy
-        ipx = ipx.astype(jnp.int32)
-        ipy = ipy.astype(jnp.int32)
+        _run_block(pts, guess0, valid, st_in, jb)
+        return 0
 
-        inb_prev = (
-            (ipx >= -WIN) & (ipx < cols) & (ipy >= -WIN) & (ipy < rows)
-        )  # (B,1) bool
+    def _run_block(pts, guess0, valid, st_in, jb):
+        @pl.when(jnp.any(valid > 0))
+        def _run():
+            px = pts[:, 0:1]  # (B,1)
+            py = pts[:, 1:2]
+            ipx = jnp.floor(px)
+            ipy = jnp.floor(py)
+            fa = px - ipx  # x fraction
+            fb = py - ipy
+            ipx = ipx.astype(jnp.int32)
+            ipy = ipy.astype(jnp.int32)
 
-        # patch covers plane rows [ipy+PAD-1, +PR), cols [ipx+PAD-1, +PR).
-        oy0 = jnp.clip(ipy + PAD - 1, 0, hpad - PR)
-        ox0 = jnp.clip(ipx + PAD - 1, 0, wpad - PR)
+            inb_prev = (
+                (ipx >= -WIN) & (ipx < cols) & (ipy >= -WIN) & (ipy < rows)
+            )  # (B,1) bool
 
-        def onehots(y0, x0, stride):
-            """Row/col one-hot selectors for a (stride, stride) patch."""
-            tgt = _expand(y0, stride)  # (B*stride, 1)
-            roff = _iota((B * stride, hpad), 0) % stride
-            rlane = _iota((B * stride, hpad), 1)
-            R = (rlane == (tgt + roff)).astype(jnp.float32)
-            ctgt = _expand(x0, wpad)  # (B*wpad, 1)
-            coff = _iota((B * wpad, stride), 0) % wpad
-            clane = _iota((B * wpad, stride), 1)
-            C2 = (coff == (ctgt + clane)).astype(jnp.float32).reshape(
-                B, wpad, stride
-            )
-            return R, C2
+            # patch covers plane rows [ipy+PAD-1, +PR), cols [ipx+PAD-1, +PR).
+            oy0 = jnp.clip(ipy + PAD - 1, 0, hpad - PR)
+            ox0 = jnp.clip(ipx + PAD - 1, 0, wpad - PR)
 
-        def extract_c(img3_s, R, C2, c, stride):
-            """One channel's (B, stride, stride) patch."""
-            rowband = jnp.dot(
-                R, img3_s[c], preferred_element_type=jnp.float32
-            )  # (B*stride, wpad)
-            return jax.lax.dot_general(
-                rowband.reshape(B, stride, wpad),
-                C2,
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # (B, stride, stride)
+            def onehots(y0, x0, stride):
+                """Row/col one-hot selectors for a (stride, stride) patch."""
+                tgt = _expand(y0, stride)  # (B*stride, 1)
+                roff = _iota((B * stride, hpad), 0) % stride
+                rlane = _iota((B * stride, hpad), 1)
+                R = (rlane == (tgt + roff)).astype(jnp.float32)
+                ctgt = _expand(x0, wpad)  # (B*wpad, 1)
+                coff = _iota((B * wpad, stride), 0) % wpad
+                clane = _iota((B * wpad, stride), 1)
+                C2 = (coff == (ctgt + clane)).astype(jnp.float32).reshape(
+                    B, wpad, stride
+                )
+                return R, C2
 
-        # ---- prev patches -> Scharr -> bilinear windows, per channel ------
-        # Derivative grid row q corresponds to praw texel q+1; OpenCV's
-        # derivative pyramid is zero outside [0,rows)x[0,cols).
-        prow1 = _expand(oy0 - PAD + 1, PR) + (_iota((B * PR, PR), 0) % PR)
-        pcol = _expand(ox0 - PAD, PR) + _iota((B * PR, PR), 1)
-        colv = ((pcol >= 0) & (pcol < cols)).astype(jnp.float32)
-        dmask1 = ((prow1 >= 0) & (prow1 < rows)).astype(jnp.float32) * colv
-        dmask2 = (
-            ((prow1 + 1 >= 0) & (prow1 + 1 < rows)).astype(jnp.float32) * colv
-        )
+            def extract_c(img3_s, R, C2, c, stride):
+                """One channel's (B, stride, stride) patch.
 
-        # window validity mask (texels 0..20 of the 24-row stride)
-        wmask = (
-            (_iota((B * PR, PR), 0) % PR < WIN) & (_iota((B * PR, PR), 1) < WIN)
-        ).astype(jnp.float32)
-
-        fa_e = _expand(fa, PR)
-        fb_e = _expand(fb, PR)
-
-        n = B * PR
-
-        def sh(x, d):
-            # lane shift: out[:, cc] = x[:, cc+d].  Cyclic wrap only touches
-            # cols outside the 21x21 window, so no masking needed.
-            if d == 0:
-                return x
-            return pltpu.roll(x, (PR - d) % PR, axis=1)
-
-        Rp, C2p = onehots(oy0, ox0, PR)
-
-        def prev_body(c, carry):
-            a11_c, a12_c, a22_c = carry
-            praw_s[c, 0:n, :] = extract_c(pimg_s, Rp, C2p, c, PR).reshape(
-                n, PR
-            )
-            praw_s[c, n:, :] = jnp.zeros((8, PR), jnp.float32)
-            p_ext = praw_s[c]
-            # Scharr x/y (/32) over m = n+2 rows so windows can read q+1.
-            m = n + 2
-            rm1 = p_ext[0:m, :]
-            r0 = p_ext[1 : 1 + m, :]
-            rp1 = p_ext[2 : 2 + m, :]
-            gx = (
-                3.0 * (sh(rm1, 1) - sh(rm1, -1))
-                + 10.0 * (sh(r0, 1) - sh(r0, -1))
-                + 3.0 * (sh(rp1, 1) - sh(rp1, -1))
-            ) * (1.0 / 32.0)
-            gy = (
-                3.0 * (sh(rp1, -1) - sh(rm1, -1))
-                + 10.0 * (sh(rp1, 0) - sh(rm1, 0))
-                + 3.0 * (sh(rp1, 1) - sh(rm1, 1))
-            ) * (1.0 / 32.0)
-            gxv = gx[0:n, :] * dmask1
-            gyv = gy[0:n, :] * dmask1
-            gxh = gx[1 : 1 + n, :] * dmask2
-            gyh = gy[1 : 1 + n, :] * dmask2
-
-            # window texel (r, cc): praw texels (r+1+dr, cc+1+dc);
-            # derivative grid rows r (lo) and r+1 (hi).
-            def window(rlo, rhi):
-                row = (1.0 - fb_e) * rlo + fb_e * rhi
-                return (1.0 - fa_e) * sh(row, 1) + fa_e * sh(row, 2)
-
-            iw = window(p_ext[1 : 1 + n, :], p_ext[2 : 2 + n, :]) * wmask
-            gxw = window(gxv, gxh) * wmask
-            gyw = window(gyv, gyh) * wmask
-            iwin_s[c] = iw
-            gxw_s[c] = gxw
-            gyw_s[c] = gyw
-
-            def segsum(x_flat):
-                return jnp.dot(
-                    seg,
-                    jnp.sum(x_flat, axis=1, keepdims=True),
+                One-hot selectors times 8-bit-integer-valued planes are
+                exact under bf16 MXU passes, so these dots override the
+                package-wide HIGHEST matmul precision (6x bf16 passes)
+                with the fast single-pass DEFAULT.
+                """
+                rowband = jax.lax.dot_general(
+                    R, img3_s[c], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )
+                    precision=jax.lax.Precision.DEFAULT,
+                )  # (B*stride, wpad)
+                return jax.lax.dot_general(
+                    rowband.reshape(B, stride, wpad),
+                    C2,
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )  # (B, stride, stride)
 
-            return (
-                a11_c + segsum(gxw * gxw),
-                a12_c + segsum(gxw * gyw),
-                a22_c + segsum(gyw * gyw),
+            # ---- prev patches -> Scharr -> bilinear windows, per channel ------
+            # Derivative grid row q corresponds to praw texel q+1; OpenCV's
+            # derivative pyramid is zero outside [0,rows)x[0,cols).
+            prow1 = _expand(oy0 - PAD + 1, PR) + (_iota((B * PR, PR), 0) % PR)
+            pcol = _expand(ox0 - PAD, PR) + _iota((B * PR, PR), 1)
+            colv = ((pcol >= 0) & (pcol < cols)).astype(jnp.float32)
+            dmask1 = ((prow1 >= 0) & (prow1 < rows)).astype(jnp.float32) * colv
+            dmask2 = (
+                ((prow1 + 1 >= 0) & (prow1 + 1 < rows)).astype(jnp.float32) * colv
             )
 
-        # segment-sum matrix: (B, B*PR) ones over each feature's rows
-        seg = (_iota((B, B * PR), 1) // PR == _iota((B, B * PR), 0)).astype(
-            jnp.float32
-        )
+            # window validity mask (texels 0..20 of the 24-row stride)
+            wmask = (
+                (_iota((B * PR, PR), 0) % PR < WIN) & (_iota((B * PR, PR), 1) < WIN)
+            ).astype(jnp.float32)
 
-        zero_b1 = jnp.zeros((B, 1), jnp.float32)
-        a11, a12, a22 = jax.lax.fori_loop(
-            0, C, prev_body, (zero_b1, zero_b1, zero_b1)
-        )
+            fa_e = _expand(fa, PR)
+            fb_e = _expand(fb, PR)
 
-        a11c = a11 * CV_SCALE
-        a12c = a12 * CV_SCALE
-        a22c = a22 * CV_SCALE
-        det = a11c * a22c - a12c * a12c
-        min_eig = (
-            a22c + a11c - jnp.sqrt((a11c - a22c) ** 2 + 4.0 * a12c * a12c)
-        ) / (2.0 * win_area)
-        well_posed = (min_eig >= min_eig_threshold) & (det >= FLT_EPSILON)
-        inv_det = jnp.where(det == 0.0, 0.0, 1.0 / det)
+            n = B * PR
 
-        active0 = (valid > 0) & inb_prev & well_posed  # (B,1) bool
-        status = st_in > 0
-        if is_level0:
-            status = status & inb_prev & well_posed
+            def sh(x, d):
+                # lane shift: out[:, cc] = x[:, cc+d].  Cyclic wrap only touches
+                # cols outside the 21x21 window, so no masking needed.
+                if d == 0:
+                    return x
+                return pltpu.roll(x, (PR - d) % PR, axis=1)
 
-        # ---- rounds x solver iterations ---------------------------------
-        # Loop carries are int32 masks: this Mosaic fails to legalize
-        # scf.for/scf.while with i1 vector carries.
-        def round_body(rd, carry):
-            corner0, finished_i, st_i, used = carry
-            finished = finished_i > 0
-            st = st_i > 0
-            icy0 = jnp.floor(corner0[:, 1:2]).astype(jnp.int32)
-            icx0 = jnp.floor(corner0[:, 0:1]).astype(jnp.int32)
-            py0 = jnp.clip(icy0 + PAD - MARGIN, 0, hpad - PN)
-            px0 = jnp.clip(icx0 + PAD - MARGIN, 0, wpad - PN)
+            Rp, C2p = onehots(oy0, ox0, PR)
 
-            need = active0 & jnp.logical_not(finished)
-
-            @pl.when(jnp.any(need))
-            def _fetch():
-                Rn, C2n = onehots(py0, px0, PN)
-
-                def fetch_body(c, _):
-                    jpatch_s[c] = extract_c(nimg_s, Rn, C2n, c, PN)
-                    return 0
-
-                jax.lax.fori_loop(0, C, fetch_body, 0)
-
-            def iter_cond(state):
-                j, corner, active_i, prev_delta, st_ci, done_i, used_c = state
-                return (j < max_iters) & jnp.any(active_i > 0)
-
-            def iter_body(state):
-                j, corner, active_i, prev_delta, st_ci, done_i, used_c = state
-                active = active_i > 0
-                st_c = st_ci > 0
-                done = done_i > 0
-                cx = corner[:, 0:1]
-                cy = corner[:, 1:2]
-                icx = jnp.floor(cx)
-                icy = jnp.floor(cy)
-                ffa = cx - icx
-                ffb = cy - icy
-                icx = icx.astype(jnp.int32)
-                icy = icy.astype(jnp.int32)
-                inb = (
-                    (icx >= -WIN) & (icx < cols) & (icy >= -WIN) & (icy < rows)
+            def prev_body(c, carry):
+                a11_c, a12_c, a22_c = carry
+                praw_s[c, 0:n, :] = extract_c(pimg_s, Rp, C2p, c, PR).reshape(
+                    n, PR
                 )
-                if is_level0:
-                    st_n = st_c & (inb | jnp.logical_not(active))
-                else:
-                    st_n = st_c
-                done = done | (active & jnp.logical_not(inb))
-                still = active & inb
+                praw_s[c, n:, :] = jnp.zeros((8, PR), jnp.float32)
+                p_ext = praw_s[c]
+                # Scharr x/y (/32) over m = n+2 rows so windows can read q+1.
+                m = n + 2
+                rm1 = p_ext[0:m, :]
+                r0 = p_ext[1 : 1 + m, :]
+                rp1 = p_ext[2 : 2 + m, :]
+                gx = (
+                    3.0 * (sh(rm1, 1) - sh(rm1, -1))
+                    + 10.0 * (sh(r0, 1) - sh(r0, -1))
+                    + 3.0 * (sh(rp1, 1) - sh(rp1, -1))
+                ) * (1.0 / 32.0)
+                gy = (
+                    3.0 * (sh(rp1, -1) - sh(rm1, -1))
+                    + 10.0 * (sh(rp1, 0) - sh(rm1, 0))
+                    + 3.0 * (sh(rp1, 1) - sh(rm1, 1))
+                ) * (1.0 / 32.0)
+                gxv = gx[0:n, :] * dmask1
+                gyv = gy[0:n, :] * dmask1
+                gxh = gx[1 : 1 + n, :] * dmask2
+                gyh = gy[1 : 1 + n, :] * dmask2
 
-                oy_raw = icy + PAD - py0  # (B,1) offset in patch
-                ox_raw = icx + PAD - px0
-                oy = jnp.clip(oy_raw, 0, PN - PR)
-                ox = jnp.clip(ox_raw, 0, PN - PR)
-                left_patch = (oy_raw != oy) | (ox_raw != ox)
-                still = still & jnp.logical_not(left_patch)
+                # window texel (r, cc): praw texels (r+1+dr, cc+1+dc);
+                # derivative grid rows r (lo) and r+1 (hi).
+                def window(rlo, rhi):
+                    row = (1.0 - fb_e) * rlo + fb_e * rhi
+                    return (1.0 - fa_e) * sh(row, 1) + fa_e * sh(row, 2)
 
-                # integer 24-row / 24-col window selection
-                oy_e = _expand(oy, PR)  # (B*PR, 1)
-                rsel = (
-                    (_iota((B * PR, PN), 1) - (_iota((B * PR, PN), 0) % PR))
-                    == oy_e
-                ).astype(jnp.float32).reshape(B, PR, PN)
-                ox_e = _expand(ox, PN)  # (B*PN, 1)
-                csel = (
-                    (_iota((B * PN, PR), 0) % PN - _iota((B * PN, PR), 1))
-                    == ox_e
-                ).astype(jnp.float32).reshape(B, PN, PR)
+                iw = window(p_ext[1 : 1 + n, :], p_ext[2 : 2 + n, :]) * wmask
+                gxw = window(gxv, gxh) * wmask
+                gyw = window(gyv, gyh) * wmask
+                win_s[c, :, 0:PR] = iw
+                win_s[c, :, PR : 2 * PR] = gxw
+                win_s[c, :, 2 * PR : 3 * PR] = gyw
 
-                ffa_e = _expand(ffa, PR)
-                ffb_e = _expand(ffb, PR)
-
-                def chan_body(c, carry_b):
-                    b1_c, b2_c = carry_b
-                    jrows = jax.lax.dot_general(
-                        rsel,
-                        jpatch_s[c],
-                        (((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32,
-                    )  # (B, PR, PN) integer rows
-                    jint = jax.lax.dot_general(
-                        jrows,
-                        csel,
-                        (((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32,
-                    ).reshape(B * PR, PR)  # integer window grid
-                    # bilinear combine: window texel (r, cc) mixes grid
-                    # (r..r+1, cc..cc+1); roll wrap stays outside the mask.
-                    row = (1.0 - ffb_e) * jint + ffb_e * pltpu.roll(
-                        jint, B * PR - 1, axis=0
-                    )
-                    jwin = (
-                        (1.0 - ffa_e) * row
-                        + ffa_e * pltpu.roll(row, PR - 1, axis=1)
-                    ) * wmask
-                    diff = jwin - iwin_s[c]
-                    b1_n = b1_c + jnp.dot(
+                def segsum(x_flat):
+                    return jnp.dot(
                         seg,
-                        jnp.sum(diff * gxw_s[c], axis=1, keepdims=True),
+                        jnp.sum(x_flat, axis=1, keepdims=True),
                         preferred_element_type=jnp.float32,
                     )
-                    b2_n = b2_c + jnp.dot(
-                        seg,
-                        jnp.sum(diff * gyw_s[c], axis=1, keepdims=True),
-                        preferred_element_type=jnp.float32,
-                    )
-                    return (b1_n, b2_n)
 
-                b1, b2 = jax.lax.fori_loop(
-                    0, C, chan_body, (zero_b1, zero_b1)
-                )
-                b1 = b1 * CV_SCALE
-                b2 = b2 * CV_SCALE
-                dx = (a12c * b2 - a22c * b1) * inv_det
-                dy = (a12c * b1 - a11c * b2) * inv_det
-                delta = jnp.concatenate([dx, dy], axis=1)  # (B,2)
-
-                # masked updates via f32 multiply: bool concat/bitcast does
-                # not lower on this Mosaic
-                still_f = still.astype(jnp.float32)  # (B,1) -> minor bcast
-                new_corner = corner + delta * still_f
-                converged = (dx * dx + dy * dy) <= eps2
-                oscillating = (
-                    (j > 0)
-                    & (jnp.abs(dx + prev_delta[:, 0:1]) < 0.01)
-                    & (jnp.abs(dy + prev_delta[:, 1:2]) < 0.01)
-                )
-                backoff_f = (still & oscillating).astype(jnp.float32)
-                new_corner = new_corner - delta * 0.5 * backoff_f
-                used_n = used_c + still.astype(jnp.int32)
-                exhausted = used_n >= max_iters
-                done = done | (still & (converged | oscillating | exhausted))
-                new_active = (
-                    still
-                    & jnp.logical_not(converged)
-                    & jnp.logical_not(oscillating)
-                    & jnp.logical_not(exhausted)
-                )
                 return (
-                    j + 1,
-                    new_corner,
-                    new_active.astype(jnp.int32),
-                    delta,
-                    st_n.astype(jnp.int32),
-                    done.astype(jnp.int32),
-                    used_n,
+                    a11_c + segsum(gxw * gxw),
+                    a12_c + segsum(gxw * gyw),
+                    a22_c + segsum(gyw * gyw),
                 )
 
-            init = (
-                jnp.asarray(0, jnp.int32),
-                corner0,
-                need.astype(jnp.int32),
-                jnp.zeros((B, 2), jnp.float32),
-                st.astype(jnp.int32),
-                finished.astype(jnp.int32),
-                used,
+            # segment-sum matrix: (B, B*PR) ones over each feature's rows
+            seg = (_iota((B, B * PR), 1) // PR == _iota((B, B * PR), 0)).astype(
+                jnp.float32
             )
-            _, corner_e, _, _, st_e, done_e, used_e = jax.lax.while_loop(
-                iter_cond, iter_body, init
-            )
-            return corner_e, done_e, st_e, used_e
 
-        corner_f, _, status_f, _ = jax.lax.fori_loop(
-            0,
-            ROUNDS,
-            round_body,
-            (
-                guess0,
-                jnp.logical_not(active0).astype(jnp.int32),
-                status.astype(jnp.int32),
-                jnp.zeros((B, 1), jnp.int32),
-            ),
-        )
-        out_pts_ref[0, 0, 0] = corner_f
-        out_st_ref[0, 0, 0] = status_f
+            zero_b1 = jnp.zeros((B, 1), jnp.float32)
+            a11, a12, a22 = jax.lax.fori_loop(
+                0, C, prev_body, (zero_b1, zero_b1, zero_b1)
+            )
+
+            a11c = a11 * CV_SCALE
+            a12c = a12 * CV_SCALE
+            a22c = a22 * CV_SCALE
+            det = a11c * a22c - a12c * a12c
+            min_eig = (
+                a22c + a11c - jnp.sqrt((a11c - a22c) ** 2 + 4.0 * a12c * a12c)
+            ) / (2.0 * win_area)
+            well_posed = (min_eig >= min_eig_threshold) & (det >= FLT_EPSILON)
+            inv_det = jnp.where(det == 0.0, 0.0, 1.0 / det)
+
+            active0 = (valid > 0) & inb_prev & well_posed  # (B,1) bool
+            status = st_in > 0
+            if is_level0:
+                status = status & inb_prev & well_posed
+
+            # ---- rounds x solver iterations ---------------------------------
+            # Loop carries are int32 masks: this Mosaic fails to legalize
+            # scf.for/scf.while with i1 vector carries.
+            def round_body(rd, carry):
+                corner0, finished_i, st_i, used = carry
+                finished = finished_i > 0
+                st = st_i > 0
+                icy0 = jnp.floor(corner0[:, 1:2]).astype(jnp.int32)
+                icx0 = jnp.floor(corner0[:, 0:1]).astype(jnp.int32)
+                py0 = jnp.clip(icy0 + PAD - margin, 0, hpad - pn)
+                px0 = jnp.clip(icx0 + PAD - margin, 0, wpad - pn)
+
+                need = active0 & jnp.logical_not(finished)
+
+                @pl.when(jnp.any(need))
+                def _fetch():
+                    Rn, C2n = onehots(py0, px0, pn)
+
+                    def fetch_body(c, _):
+                        jpatch_s[c] = extract_c(nimg_s, Rn, C2n, c, pn)
+                        return 0
+
+                    jax.lax.fori_loop(0, C, fetch_body, 0)
+
+                def iter_cond(state):
+                    j, corner, active_i, prev_delta, st_ci, done_i, used_c = state
+                    return (j < max_iters) & jnp.any(active_i > 0)
+
+                def iter_body(state):
+                    j, corner, active_i, prev_delta, st_ci, done_i, used_c = state
+                    active = active_i > 0
+                    st_c = st_ci > 0
+                    done = done_i > 0
+                    cx = corner[:, 0:1]
+                    cy = corner[:, 1:2]
+                    icx = jnp.floor(cx)
+                    icy = jnp.floor(cy)
+                    ffa = cx - icx
+                    ffb = cy - icy
+                    icx = icx.astype(jnp.int32)
+                    icy = icy.astype(jnp.int32)
+                    inb = (
+                        (icx >= -WIN) & (icx < cols) & (icy >= -WIN) & (icy < rows)
+                    )
+                    if is_level0:
+                        st_n = st_c & (inb | jnp.logical_not(active))
+                    else:
+                        st_n = st_c
+                    done = done | (active & jnp.logical_not(inb))
+                    still = active & inb
+
+                    oy_raw = icy + PAD - py0  # (B,1) offset in patch
+                    ox_raw = icx + PAD - px0
+                    oy = jnp.clip(oy_raw, 0, pn - PR)
+                    ox = jnp.clip(ox_raw, 0, pn - PR)
+                    left_patch = (oy_raw != oy) | (ox_raw != ox)
+                    still = still & jnp.logical_not(left_patch)
+
+                    # integer 24-row / 24-col window selection
+                    oy_e = _expand(oy, PR)  # (B*PR, 1)
+                    rsel = (
+                        (_iota((B * PR, pn), 1) - (_iota((B * PR, pn), 0) % PR))
+                        == oy_e
+                    ).astype(jnp.float32).reshape(B, PR, pn)
+                    ox_e = _expand(ox, pn)  # (B*pn, 1)
+                    csel = (
+                        (_iota((B * pn, PR), 0) % pn - _iota((B * pn, PR), 1))
+                        == ox_e
+                    ).astype(jnp.float32).reshape(B, pn, PR)
+
+                    ffa_e = _expand(ffa, PR)
+                    ffb_e = _expand(ffb, PR)
+
+                    def chan_body(c, carry_b):
+                        b1_c, b2_c = carry_b
+                        # pure 0/1 selectors x integer image values:
+                        # exact in single-pass bf16
+                        jrows = jax.lax.dot_general(
+                            rsel,
+                            jpatch_s[c],
+                            (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT,
+                        )  # (B, PR, PN) integer rows
+                        jint = jax.lax.dot_general(
+                            jrows,
+                            csel,
+                            (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT,
+                        ).reshape(B * PR, PR)  # integer window grid
+                        # bilinear combine: window texel (r, cc) mixes grid
+                        # (r..r+1, cc..cc+1); roll wrap stays outside the mask.
+                        row = (1.0 - ffb_e) * jint + ffb_e * pltpu.roll(
+                            jint, B * PR - 1, axis=0
+                        )
+                        jwin = (
+                            (1.0 - ffa_e) * row
+                            + ffa_e * pltpu.roll(row, PR - 1, axis=1)
+                        ) * wmask
+                        wc = win_s[c]
+                        diff = jwin - wc[:, 0:PR]
+                        b1_n = b1_c + jnp.dot(
+                            seg,
+                            jnp.sum(
+                                diff * wc[:, PR : 2 * PR], axis=1, keepdims=True
+                            ),
+                            preferred_element_type=jnp.float32,
+                        )
+                        b2_n = b2_c + jnp.dot(
+                            seg,
+                            jnp.sum(
+                                diff * wc[:, 2 * PR : 3 * PR],
+                                axis=1,
+                                keepdims=True,
+                            ),
+                            preferred_element_type=jnp.float32,
+                        )
+                        return (b1_n, b2_n)
+
+                    b1, b2 = jax.lax.fori_loop(
+                        0, C, chan_body, (zero_b1, zero_b1)
+                    )
+                    b1 = b1 * CV_SCALE
+                    b2 = b2 * CV_SCALE
+                    dx = (a12c * b2 - a22c * b1) * inv_det
+                    dy = (a12c * b1 - a11c * b2) * inv_det
+                    delta = jnp.concatenate([dx, dy], axis=1)  # (B,2)
+
+                    # masked updates via f32 multiply: bool concat/bitcast does
+                    # not lower on this Mosaic
+                    still_f = still.astype(jnp.float32)  # (B,1) -> minor bcast
+                    new_corner = corner + delta * still_f
+                    converged = (dx * dx + dy * dy) <= eps2
+                    oscillating = (
+                        (j > 0)
+                        & (jnp.abs(dx + prev_delta[:, 0:1]) < 0.01)
+                        & (jnp.abs(dy + prev_delta[:, 1:2]) < 0.01)
+                    )
+                    backoff_f = (still & oscillating).astype(jnp.float32)
+                    new_corner = new_corner - delta * 0.5 * backoff_f
+                    used_n = used_c + still.astype(jnp.int32)
+                    exhausted = used_n >= max_iters
+                    done = done | (still & (converged | oscillating | exhausted))
+                    new_active = (
+                        still
+                        & jnp.logical_not(converged)
+                        & jnp.logical_not(oscillating)
+                        & jnp.logical_not(exhausted)
+                    )
+                    return (
+                        j + 1,
+                        new_corner,
+                        new_active.astype(jnp.int32),
+                        delta,
+                        st_n.astype(jnp.int32),
+                        done.astype(jnp.int32),
+                        used_n,
+                    )
+
+                init = (
+                    jnp.asarray(0, jnp.int32),
+                    corner0,
+                    need.astype(jnp.int32),
+                    jnp.zeros((B, 2), jnp.float32),
+                    st.astype(jnp.int32),
+                    finished.astype(jnp.int32),
+                    used,
+                )
+                _, corner_e, _, _, st_e, done_e, used_e = jax.lax.while_loop(
+                    iter_cond, iter_body, init
+                )
+                return corner_e, done_e, st_e, used_e
+
+            corner_f, _, status_f, _ = jax.lax.fori_loop(
+                0,
+                ROUNDS,
+                round_body,
+                (
+                    guess0,
+                    jnp.logical_not(active0).astype(jnp.int32),
+                    status.astype(jnp.int32),
+                    jnp.zeros((B, 1), jnp.int32),
+                ),
+            )
+
+            out_ref[0, 0, jb] = jnp.concatenate(
+                [
+                    corner_f,
+                    status_f.astype(jnp.float32),
+                    jnp.zeros((B, 1), jnp.float32),
+                ],
+                axis=1,
+            )
+
+    jax.lax.fori_loop(0, nb, block_body, 0)
 
 
 @functools.partial(
@@ -450,47 +483,59 @@ def _lk_level_kernel(
     static_argnames=(
         "rows",
         "cols",
+        "shifted",
         "block",
         "max_iters",
         "eps",
         "min_eig_threshold",
         "is_level0",
         "interpret",
+        "pn",
     ),
 )
 def lk_level_pallas(
-    planes_u8: jnp.ndarray,  # (F, S, C, hpad, wpad) uint8
+    prev_planes_u8: jnp.ndarray,  # (Fp, S, C, hpad, wpad) uint8
+    next_planes_u8: jnp.ndarray,  # (Fn, S, C, hpad, wpad) uint8
     pts: jnp.ndarray,  # (T, S, K, 2) f32 prev corners at this level
     guess: jnp.ndarray,  # (T, S, K, 2) f32 next-corner estimates
     valid: jnp.ndarray,  # (T, S, K) bool
     status_in: jnp.ndarray,  # (T, S, K) bool
     rows: int,
     cols: int,
-    block: int = 32,
+    shifted: bool = True,
+    block: int = 16,
     max_iters: int = 30,
     eps: float = 0.01,
     min_eig_threshold: float = 1e-4,
     is_level0: bool = False,
     interpret: bool = False,
+    pn: int = PN_LOWER,
 ):
     """Run one pyramid level for all frame pairs.
 
-    planes index t is the prev frame of pair t; t+1 the next.  Returns
-    (corners (T, S, K, 2), status (T, S, K)).
+    shifted=True: adjacent-frame pairs — pair t tracks prev plane t into
+    next plane t+1 of the same array (pass it twice).  shifted=False:
+    parallel pairs (the metric pass) — prev plane t into next plane t
+    of a second array.  One grid program per (pair, tile); feature
+    blocks iterate inside the kernel so tile planes are fetched and
+    converted once.  Returns (corners (T, S, K, 2), status (T, S, K)).
     """
-    f, s, c, hpad, wpad = planes_u8.shape
+    f, s, c, hpad, wpad = prev_planes_u8.shape
     t, _, k, _ = pts.shape
-    assert t == f - 1
+    assert t == (f - 1 if shifted else f)
     nb = k // block
     assert nb * block == k
 
-    def r5(a, last):
-        return a.reshape(t, s, nb, block, last)
-
-    pts5 = r5(pts, 2)
-    guess5 = r5(guess, 2)
-    valid5 = r5(valid.astype(jnp.int32), 1)
-    st5 = r5(status_in.astype(jnp.int32), 1)
+    packed = jnp.concatenate(
+        [
+            pts,
+            guess,
+            valid.astype(jnp.float32)[..., None],
+            status_in.astype(jnp.float32)[..., None],
+            jnp.zeros(pts.shape[:3] + (2,), jnp.float32),
+        ],
+        axis=-1,
+    ).reshape(t, s, nb, block, 8)
 
     kern = functools.partial(
         _lk_level_kernel,
@@ -504,58 +549,51 @@ def lk_level_pallas(
         eps=eps,
         min_eig_threshold=min_eig_threshold,
         is_level0=is_level0,
+        nb=nb,
+        pn=pn,
     )
 
     plane_spec_prev = pl.BlockSpec(
         (1, 1, c, hpad, wpad),
-        lambda ti, si, ji: (ti, si, 0, 0, 0),
+        lambda ti, si: (ti, si, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    shift = 1 if shifted else 0
     plane_spec_next = pl.BlockSpec(
         (1, 1, c, hpad, wpad),
-        lambda ti, si, ji: (ti + 1, si, 0, 0, 0),
+        lambda ti, si: (ti + shift, si, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
     def feat_spec(last):
         return pl.BlockSpec(
-            (1, 1, 1, block, last),
-            lambda ti, si, ji: (ti, si, ji, 0, 0),
+            (1, 1, nb, block, last),
+            lambda ti, si: (ti, si, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
-    out_pts, out_st = pl.pallas_call(
+    out = pl.pallas_call(
         kern,
-        grid=(t, s, nb),
+        grid=(t, s),
         in_specs=[
             plane_spec_prev,
             plane_spec_next,
-            feat_spec(2),
-            feat_spec(2),
-            feat_spec(1),
-            feat_spec(1),
+            feat_spec(8),
         ],
-        out_specs=(feat_spec(2), feat_spec(1)),
-        out_shape=(
-            jax.ShapeDtypeStruct((t, s, nb, block, 2), jnp.float32),
-            jax.ShapeDtypeStruct((t, s, nb, block, 1), jnp.int32),
-        ),
+        out_specs=feat_spec(4),
+        out_shape=jax.ShapeDtypeStruct((t, s, nb, block, 4), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((c, hpad, wpad), jnp.float32),  # pimg
             pltpu.VMEM((c, hpad, wpad), jnp.float32),  # nimg
-            pltpu.VMEM((c, block * PR, PR), jnp.float32),  # iwin
-            pltpu.VMEM((c, block * PR, PR), jnp.float32),  # gxw
-            pltpu.VMEM((c, block * PR, PR), jnp.float32),  # gyw
-            pltpu.VMEM((c, block, PN, PN), jnp.float32),  # jpatch
+            pltpu.VMEM((c, block * PR, 3 * PR), jnp.float32),  # iwin|gxw|gyw
+            pltpu.VMEM((c, block, pn, pn), jnp.float32),  # jpatch
             pltpu.VMEM((c, block * PR + 8, PR), jnp.float32),  # praw (+slack)
         ],
         interpret=interpret,
-    )(planes_u8, planes_u8, pts5, guess5, valid5, st5)
+    )(prev_planes_u8, next_planes_u8, packed)
 
-    return (
-        out_pts.reshape(t, s, k, 2),
-        out_st.reshape(t, s, k) > 0,
-    )
+    out = out.reshape(t, s, k, 4)
+    return (out[..., 0:2], out[..., 2] > 0.5)
 
 
 def lk_track_pairs_pallas(
@@ -563,7 +601,7 @@ def lk_track_pairs_pallas(
     level_dims,  # tuple over levels of (rows_l, cols_l)
     pts: jnp.ndarray,  # (F, S, K, 2) f32 tile-local level-0 positions
     valid: jnp.ndarray,  # (F, S, K) bool
-    block: int = 32,
+    block: int = 16,
     max_iters: int = 30,
     eps: float = 0.01,
     min_eig_threshold: float = 1e-4,
@@ -571,13 +609,45 @@ def lk_track_pairs_pallas(
 ):
     """Track each frame's keypoints into the next frame (all pairs).
 
+    Returns (next_pts (F-1, S, K, 2), status (F-1, S, K)).
+    """
+    return lk_track_parallel_pallas(
+        levels_u8,
+        levels_u8,
+        level_dims,
+        pts[:-1],
+        valid[:-1],
+        shifted=True,
+        block=block,
+        max_iters=max_iters,
+        eps=eps,
+        min_eig_threshold=min_eig_threshold,
+        interpret=interpret,
+    )
+
+
+def lk_track_parallel_pallas(
+    prev_levels_u8,  # tuple over levels of (Fp, S, C, hpad_l, wpad_l) uint8
+    next_levels_u8,  # same tile geometry; Fn = Fp (shifted=False) or Fp
+    level_dims,  # tuple over levels of (rows_l, cols_l)
+    pts: jnp.ndarray,  # (T, S, K, 2) f32 tile-local level-0 prev positions
+    valid: jnp.ndarray,  # (T, S, K) bool
+    shifted: bool = False,
+    block: int = 16,
+    max_iters: int = 30,
+    eps: float = 0.01,
+    min_eig_threshold: float = 1e-4,
+    interpret: bool = False,
+):
+    """Track pts of prev pyramid t into next pyramid t(+1 if shifted).
+
     Mirrors kernels/lk.lk_track level flow: coarse-to-fine, guesses
     doubled between levels, status carried through with level-0-only
-    demotion.  Returns (next_pts (F-1, S, K, 2), status (F-1, S, K)).
+    demotion.  Returns (next_pts (T, S, K, 2), status (T, S, K)).
     """
-    max_level = len(levels_u8) - 1
-    prev_pts = pts[:-1]
-    valid_t = valid[:-1]
+    max_level = len(prev_levels_u8) - 1
+    prev_pts = pts
+    valid_t = valid
     status = valid_t
     next_pts = prev_pts / (2.0**max_level)
 
@@ -588,21 +658,58 @@ def lk_track_pairs_pallas(
             next_pts = next_pts * 2.0
         guess = next_pts - HALF
         corner, status = lk_level_pallas(
-            levels_u8[level],
+            prev_levels_u8[level],
+            next_levels_u8[level],
             prev_l,
             guess,
             valid_t,
             status,
             rows=rows_l,
             cols=cols_l,
-            block=block,
+            shifted=shifted,
+            block=min(block, 16) if level == max_level else block,
             max_iters=max_iters,
             eps=eps,
             min_eig_threshold=min_eig_threshold,
             is_level0=(level == 0),
             interpret=interpret,
+            # top level: wide patches for large motions, smaller feature
+            # blocks to stay inside VMEM; refinement levels: the reverse
+            pn=PN_TOP if level == max_level else PN_LOWER,
         )
         next_pts = corner + HALF
 
     out = jnp.where(valid_t[..., None], next_pts, prev_pts)
     return out, status & valid_t
+
+
+def reflect_pad_level(img: jnp.ndarray, pad: int = PAD) -> jnp.ndarray:
+    """REFLECT_101-pad the last two dims by `pad` (chunked: numpy reflect
+    can only pad size-1 per step)."""
+    remaining = pad
+    while remaining > 0:
+        step = min(remaining, min(img.shape[-2], img.shape[-1]) - 1)
+        img = jnp.pad(
+            img,
+            [(0, 0)] * (img.ndim - 2) + [(step, step), (step, step)],
+            mode="reflect",
+        )
+        remaining -= step
+    return img
+
+
+def pack_tile_planes(tiles: jnp.ndarray, max_level: int):
+    """Tile pyramid planes for the Pallas tracker.
+
+    tiles: (F, S, C, th, tw) float32 8-bit-valued level-0 tiles.
+    Returns (tuple over levels of (F, S, C, hpad_l, wpad_l) uint8,
+    tuple of (rows_l, cols_l)).
+    """
+    from meshflow_tpu.kernels.pyramid import build_pyramid
+
+    levels = build_pyramid(tiles, max_level)
+    planes = tuple(
+        reflect_pad_level(lvl).astype(jnp.uint8) for lvl in levels
+    )
+    dims = tuple((lvl.shape[-2], lvl.shape[-1]) for lvl in levels)
+    return planes, dims

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from meshflow_tpu.config import MeshFlowConfig
 from meshflow_tpu.kernels.eig3 import affine_eigen_ratio
-from meshflow_tpu.motion.features import match_pair
+from meshflow_tpu.motion.features import match_from_tracks, match_pair
 
 
 @jax.jit
@@ -61,10 +61,66 @@ def cropping_and_distortion_scanned(
     at the caller (which may be driving fixed-size chunks).  Pyramids are
     rebuilt per frame inside the scan (same memory policy as
     motion.pipeline)."""
-    from meshflow_tpu.motion.pipeline import packed_tile_pyramids, unpack_level
+    from meshflow_tpu.motion.pipeline import (
+        frame_tiles_f32,
+        packed_tile_pyramids,
+        unpack_level,
+        use_pallas_lk,
+    )
 
     num_frames = unstab_keypoints.valid.shape[0]
     max_level = config.lk_max_level(frame_height, frame_width)
+
+    if use_pallas_lk():
+        from meshflow_tpu.kernels import lk_pallas
+        from meshflow_tpu.utils.grid import subframe_offsets
+
+        offsets = jnp.asarray(
+            subframe_offsets(config, frame_height, frame_width), jnp.float32
+        )
+        planes_un, dims = lk_pallas.pack_tile_planes(
+            frame_tiles_f32(unstab_frames, config), max_level
+        )
+        planes_cr, _ = lk_pallas.pack_tile_planes(
+            frame_tiles_f32(cropped_frames, config), max_level
+        )
+        local_pts = unstab_keypoints.positions - offsets[None, :, None, :]
+        late_local, tracked = lk_pallas.lk_track_parallel_pallas(
+            planes_un,
+            planes_cr,
+            dims,
+            local_pts,
+            unstab_keypoints.valid,
+            shifted=False,
+            max_iters=config.lk_max_iterations,
+            eps=config.lk_epsilon,
+            min_eig_threshold=config.lk_min_eig_threshold,
+        )
+        late_pos = late_local + offsets[None, :, None, :]
+
+        def body_tracks(carry, t):
+            match = match_from_tracks(
+                unstab_keypoints.positions[t],
+                late_pos[t],
+                tracked[t],
+                jax.random.fold_in(key, t + key_offset),
+                config,
+            )
+            h = match.homography
+            ratio = 1.0 / (h[0, 0] * h[1, 1])
+            distortion = affine_eigen_ratio(h)
+            ratio = jnp.where(match.ok, ratio, 1.0)
+            distortion = jnp.where(match.ok, distortion, 1.0)
+            return carry, (
+                ratio.astype(jnp.float32),
+                distortion.astype(jnp.float32),
+            )
+
+        _, (ratios, distortions) = jax.lax.scan(
+            body_tracks, None, jnp.arange(num_frames)
+        )
+        return ratios, distortions
+
     packed_un = packed_tile_pyramids(unstab_frames, config, max_level)
     packed_cr = packed_tile_pyramids(cropped_frames, config, max_level)
 

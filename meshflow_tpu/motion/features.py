@@ -96,14 +96,30 @@ def match_pair(
     frame_height: int,
     frame_width: int,
 ) -> MatchResult:
-    """Full L2 stack for one frame pair."""
-    s, k = early_keypoints.valid.shape[-2:]
+    """Full L2 stack for one frame pair (XLA tracker)."""
     late_pos, tracked = track_pair(
         early_keypoints, prev_levels, next_levels, config,
         frame_height, frame_width,
     )
-    early_pos = early_keypoints.positions
-    tracked = tracked & early_keypoints.valid
+    return match_from_tracks(
+        early_keypoints.positions,
+        late_pos,
+        tracked & early_keypoints.valid,
+        key,
+        config,
+    )
+
+
+def match_from_tracks(
+    early_pos: jnp.ndarray,  # (S, K, 2) frame-relative
+    late_pos: jnp.ndarray,  # (S, K, 2) tracked positions
+    tracked: jnp.ndarray,  # (S, K) bool
+    key: jax.Array,
+    config: MeshFlowConfig,
+) -> MatchResult:
+    """Per-subframe RANSAC + global least-squares homography from
+    precomputed LK tracks (shared by the XLA and Pallas tracker paths)."""
+    s, k = tracked.shape[-2:]
 
     # Per-subframe RANSAC outlier rejection (vmapped over subframes).
     keys = jax.random.split(key, s)

@@ -27,7 +27,7 @@ from meshflow_tpu.kernels.color import bgr_to_gray
 from meshflow_tpu.kernels.fast import detect_keypoints
 from meshflow_tpu.kernels.lk import PaddedLevel, prepare_level
 from meshflow_tpu.kernels.pyramid import build_pyramid
-from meshflow_tpu.motion.features import match_pair
+from meshflow_tpu.motion.features import match_from_tracks, match_pair
 from meshflow_tpu.motion.propagate import vertex_velocities
 from meshflow_tpu.utils import grid
 
@@ -233,7 +233,10 @@ def estimate_motion_scanned(
     frame_width: int,
 ) -> MotionEstimate:
     """Single-call variant (small clips / tests)."""
-    out = pair_velocity_scan(
+    scan_fn = (
+        pair_velocity_scan_pallas if use_pallas_lk() else pair_velocity_scan
+    )
+    out = scan_fn(
         keypoints, frames_bgr, key, jnp.asarray(0, jnp.int32), config,
         frame_height, frame_width,
     )
@@ -276,7 +279,10 @@ def estimate_motion_chunked(
             lambda a: jax.lax.dynamic_slice_in_dim(a, start, chunk_pairs + 1, axis=0),
             kps_p,
         )
-        vel, homo, ok = pair_velocity_scan(
+        scan_fn = (
+            pair_velocity_scan_pallas if use_pallas_lk() else pair_velocity_scan
+        )
+        vel, homo, ok = scan_fn(
             k, g, key, jnp.asarray(start, jnp.int32), config,
             frame_height, frame_width,
         )
@@ -297,3 +303,98 @@ def estimate_motion(
     f, h, w = frames_bgr.shape[:3]
     keypoints, _ = prepare_frames(frames_bgr, config)
     return estimate_motion_scanned(keypoints, frames_bgr, key, config, h, w)
+
+
+# ---------------------------------------------------------------------------
+# Pallas tracker path (TPU): LK for all pairs in three level-batched kernel
+# calls, then the per-pair RANSAC/homography/propagation under one scan.
+# ---------------------------------------------------------------------------
+
+def use_pallas_lk() -> bool:
+    """Route LK through the Pallas kernel on TPU backends.
+
+    MESHFLOW_LK=xla forces the selection-matmul XLA path (the CPU/test
+    path); MESHFLOW_LK=pallas forces the kernel (e.g. interpret tests).
+    """
+    import os
+
+    mode = os.environ.get("MESHFLOW_LK", "auto")
+    if mode == "xla":
+        return False
+    if mode == "pallas":
+        return True
+    return jax.default_backend() not in ("cpu",)
+
+
+def frame_tiles_f32(frames_bgr: jnp.ndarray, config: MeshFlowConfig):
+    """(F, H, W, 3) uint8 BGR -> (F, S, C, th, tw) float32 tiles."""
+    chans = jnp.moveaxis(frames_bgr, -1, 1).astype(jnp.float32)  # (F,C,H,W)
+    tiles = split_tiles(chans, config)  # (F, C, S, th, tw)
+    return jnp.swapaxes(tiles, 1, 2)  # (F, S, C, th, tw)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "frame_height", "frame_width"))
+def track_pairs_pallas(
+    keypoints,
+    frames_bgr: jnp.ndarray,
+    config: MeshFlowConfig,
+    frame_height: int,
+    frame_width: int,
+):
+    """LK-track every frame's keypoints into the next frame (all pairs).
+
+    Returns (late_pos (F-1, S, K, 2) frame-relative, tracked (F-1, S, K)).
+    """
+    from meshflow_tpu.kernels import lk_pallas
+
+    offsets = jnp.asarray(
+        grid.subframe_offsets(config, frame_height, frame_width), jnp.float32
+    )  # (S, 2) [x, y]
+    max_level = config.lk_max_level(frame_height, frame_width)
+    tiles = frame_tiles_f32(frames_bgr, config)
+    planes, dims = lk_pallas.pack_tile_planes(tiles, max_level)
+    local_pts = keypoints.positions - offsets[None, :, None, :]
+    late_local, tracked = lk_pallas.lk_track_pairs_pallas(
+        planes,
+        dims,
+        local_pts,
+        keypoints.valid,
+        max_iters=config.lk_max_iterations,
+        eps=config.lk_epsilon,
+        min_eig_threshold=config.lk_min_eig_threshold,
+    )
+    return late_local + offsets[None, :, None, :], tracked
+
+
+@functools.partial(jax.jit, static_argnames=("config", "frame_height", "frame_width"))
+def pair_velocity_scan_pallas(
+    keypoints,
+    frames_bgr: jnp.ndarray,
+    key: jax.Array,
+    key_offset: jnp.ndarray,
+    config: MeshFlowConfig,
+    frame_height: int,
+    frame_width: int,
+):
+    """Pallas-tracked variant of pair_velocity_scan (same outputs)."""
+    num_frames = frames_bgr.shape[0]
+    vertex_grid = jnp.asarray(grid.vertex_grid(config, frame_height, frame_width))
+    late_pos, tracked = track_pairs_pallas(
+        keypoints, frames_bgr, config, frame_height, frame_width
+    )
+
+    def pair_body(carry, t):
+        match = match_from_tracks(
+            keypoints.positions[t],
+            late_pos[t],
+            tracked[t],
+            jax.random.fold_in(key, t + key_offset),
+            config,
+        )
+        velocity = vertex_velocities(
+            match, vertex_grid, config, frame_height, frame_width
+        )
+        return carry, (velocity, match.homography, match.ok)
+
+    _, out = jax.lax.scan(pair_body, None, jnp.arange(num_frames - 1))
+    return out
