@@ -261,9 +261,36 @@ def estimate_homography(
     return refine_homography(h, early, late, weights, refine_iterations)
 
 
-def _sample_indices(key: jax.Array, iterations: int, num_points: int) -> jnp.ndarray:
-    """(iterations, 4) random raw indices in [0, num_points)."""
-    return jax.random.randint(key, (iterations, 4), 0, num_points)
+def _sample_distinct4(
+    key: jax.Array, iterations: int, num_valid: jnp.ndarray
+) -> jnp.ndarray:
+    """(iterations, 4) distinct draws, exactly uniform over [0, num_valid).
+
+    Sequential inverse-CDF sampling without replacement: the k-th draw is
+    uniform over the ``num_valid - k`` values not yet chosen, then shifted
+    past the already-chosen values in ascending order.  No modulo bias
+    (randint spans are the dynamic counts themselves) and no repeated
+    indices for num_valid >= 4 (below 4 the caller reports ok=False, so
+    collisions there are harmless).  Mirrors cv2.findHomography(RANSAC)'s
+    distinct 4-point sampling (reference: meshflowstabilizer.py:569-571).
+    """
+    m = num_valid
+    k0, k1, k2, k3 = jax.random.split(key, 4)
+    d0 = jax.random.randint(k0, (iterations,), 0, jnp.maximum(m, 1))
+    d1 = jax.random.randint(k1, (iterations,), 0, jnp.maximum(m - 1, 1))
+    d2 = jax.random.randint(k2, (iterations,), 0, jnp.maximum(m - 2, 1))
+    d3 = jax.random.randint(k3, (iterations,), 0, jnp.maximum(m - 3, 1))
+    d1 = d1 + (d1 >= d0)
+    lo, hi = jnp.minimum(d0, d1), jnp.maximum(d0, d1)
+    d2 = d2 + (d2 >= lo)
+    d2 = d2 + (d2 >= hi)
+    a = jnp.minimum(lo, d2)
+    c = jnp.maximum(hi, d2)
+    b = d0 + d1 + d2 - a - c
+    d3 = d3 + (d3 >= a)
+    d3 = d3 + (d3 >= b)
+    d3 = d3 + (d3 >= c)
+    return jnp.stack([d0, d1, d2, d3], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "refine_iterations"))
@@ -292,9 +319,7 @@ def ransac_homography(
     # Stable compaction: indices of valid points first.
     order = jnp.argsort(jnp.logical_not(valid), stable=True)
 
-    raw = _sample_indices(key, iterations, n)
-    # Map raw draws uniformly onto [0, num_valid) then through the compaction.
-    draws = raw % jnp.maximum(num_valid, 1)
+    draws = _sample_distinct4(key, iterations, num_valid)
     sample_idx = order[draws]  # (iterations, 4)
 
     sampled_early = early[sample_idx]  # (iterations, 4, 2)

@@ -145,3 +145,23 @@ def test_ransac_padding_rows_never_inliers(rng):
     )
     assert bool(ok)
     assert not np.asarray(mask)[20:].any()
+
+
+def test_sample_distinct4_uniform_no_repeats():
+    """Draws are distinct within each 4-tuple and uniform over [0, m)."""
+    from meshflow_tpu.kernels.homography import _sample_distinct4
+
+    m = 7  # awkward size: the old `raw % m` scheme was visibly biased here
+    iters = 20000
+    draws = np.asarray(
+        _sample_distinct4(jax.random.PRNGKey(3), iters, jnp.asarray(m))
+    )
+    assert draws.min() >= 0 and draws.max() < m
+    # no repeated index within any 4-sample
+    assert all(len(set(row)) == 4 for row in draws)
+    # marginal uniformity: each value appears ~ iters*4/m times
+    counts = np.bincount(draws.ravel(), minlength=m)
+    expected = iters * 4 / m
+    chi2 = float(((counts - expected) ** 2 / expected).sum())
+    # chi-square with m-1=6 dof; 99.9th percentile ~= 22.5
+    assert chi2 < 22.5, counts
