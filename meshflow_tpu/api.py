@@ -104,6 +104,37 @@ class MeshFlowStabilizer:
         config = self.config
         timer = StageTimer()
 
+        # Streaming two-pass pipeline: O(chunk) pixel residency, decode
+        # overlapped with device compute (SURVEY §7 host<->device
+        # streaming; the reference materializes everything,
+        # meshflowstabilizer.py:201-209).  Results are identical to the
+        # in-memory host-render path.  Visualize needs all frames in RAM,
+        # so it takes the in-memory path.
+        import os as _os
+
+        from meshflow_tpu.render import host as _host_render
+
+        stream_mode = _os.environ.get("MESHFLOW_STREAM", "auto")
+        use_stream = (
+            _host_render.streaming_available() and not self.visualize
+            if stream_mode == "auto"
+            else stream_mode == "1"
+        )
+        if use_stream:
+            from meshflow_tpu import streaming
+
+            result = streaming.stabilize_streamed(
+                input_path,
+                output_path,
+                adaptive_weights_definition,
+                config,
+                self._key,
+                timer,
+                chunk=self.CHUNK,
+            )
+            timer.report()
+            return result
+
         with timer.stage("decode"):
             frames_np, info = video_io.read_video(input_path)
         num_frames, h, w = frames_np.shape[:3]
@@ -237,6 +268,7 @@ class MeshFlowStabilizer:
                     config,
                     h,
                     w,
+                    crop_rect=jnp.asarray(crop_np, jnp.int32),
                 )
                 ratios.append(r[: stop - start])
                 distortions.append(d[: stop - start])
@@ -302,6 +334,7 @@ class MeshFlowStabilizer:
                 config,
                 h,
                 w,
+                crop_rect=crop,
             )
             ratios.append(r[: stop - start])
             distortions.append(d[: stop - start])

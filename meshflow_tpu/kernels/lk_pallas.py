@@ -638,18 +638,24 @@ def lk_track_parallel_pallas(
     eps: float = 0.01,
     min_eig_threshold: float = 1e-4,
     interpret: bool = False,
+    init_pts: jnp.ndarray | None = None,
 ):
     """Track pts of prev pyramid t into next pyramid t(+1 if shifted).
 
     Mirrors kernels/lk.lk_track level flow: coarse-to-fine, guesses
     doubled between levels, status carried through with level-0-only
     demotion.  Returns (next_pts (T, S, K, 2), status (T, S, K)).
+
+    init_pts, when given, seeds the top-level search at an analytic
+    estimate of the destination (cv2's OPTFLOW_USE_INITIAL_FLOW); the
+    default seeds at the source position like cv2's default flags.
     """
     max_level = len(prev_levels_u8) - 1
     prev_pts = pts
     valid_t = valid
     status = valid_t
-    next_pts = prev_pts / (2.0**max_level)
+    start = prev_pts if init_pts is None else init_pts
+    next_pts = start / (2.0**max_level)
 
     for level in range(max_level, -1, -1):
         rows_l, cols_l = level_dims[level]

@@ -55,12 +55,19 @@ def cropping_and_distortion_scanned(
     config: MeshFlowConfig,
     frame_height: int,
     frame_width: int,
+    crop_rect: jnp.ndarray | None = None,
 ):
     """Per-frame unstabilized->cropped homographies -> per-frame
     (ratios, distortions) arrays; the video-level mean/min reduction happens
     at the caller (which may be driving fixed-size chunks).  Pyramids are
     rebuilt per frame inside the scan (same memory policy as
-    motion.pipeline)."""
+    motion.pipeline).
+
+    crop_rect ((4,) [left, top, right, bottom], optional) is accepted for
+    callers that know the global crop (streaming pass 2); it is currently
+    unused -- seeding the tracker from it measurably shifts the surviving
+    feature population away from the reference's zero-init cv2 semantics
+    (see the comment at the tracker call)."""
     from meshflow_tpu.motion.pipeline import (
         frame_tiles_f32,
         packed_tile_pyramids,
@@ -85,6 +92,12 @@ def cropping_and_distortion_scanned(
             frame_tiles_f32(cropped_frames, config), max_level
         )
         local_pts = unstab_keypoints.positions - offsets[None, :, None, :]
+        # Measured (r2, video-1): seeding the tracker at the analytic
+        # crop+stretch destination (init_pts) cuts this pass ~45% but
+        # changes which features survive, moving cropping_ratio from
+        # +0.75% to -6.2% vs the reference -- cv2's default zero-init
+        # population is part of the metric's semantics, so track like the
+        # reference does (meshflowstabilizer.py:1195-1203).
         late_local, tracked = lk_pallas.lk_track_parallel_pallas(
             planes_un,
             planes_cr,

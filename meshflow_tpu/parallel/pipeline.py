@@ -34,7 +34,7 @@ from meshflow_tpu.motion.pipeline import (
 )
 from meshflow_tpu.kernels.color import bgr_to_gray
 from meshflow_tpu.render.stabilize import crop_frames, render_stabilized
-from meshflow_tpu.solver.jacobi import jacobi_smooth
+from meshflow_tpu.solver.jacobi import jacobi_smooth, jacobi_smooth_sharded
 from meshflow_tpu.solver.weights import adaptive_weights
 from meshflow_tpu.utils import grid
 
@@ -58,6 +58,7 @@ def frame_sharding(mesh: Mesh) -> NamedSharding:
         "frame_width",
         "mesh",
         "adaptive_weights_definition",
+        "solver_mode",
     ),
 )
 def stabilize_sharded(
@@ -68,17 +69,28 @@ def stabilize_sharded(
     frame_width: int,
     mesh: Mesh,
     adaptive_weights_definition: int = 0,
+    solver_mode: str = "halo",
 ):
     """Full stabilization step over a frame-sharded clip.
 
     frames: (F, H, W, 3) uint8, F divisible by mesh size, sharded on axis 0.
     Returns (cropped (F, H, W, 3) uint8 sharded, crop (4,), cropping_ratio,
     distortion_score, stability_score) — scalars replicated.
+
+    solver_mode: "halo" keeps the (F, V, 2) solver state frame-sharded
+    with an Omega-frame halo exchange per Jacobi sweep (bit-identical to
+    "replicated", which all_gathers the state and solves everywhere —
+    fine at ~0.5 MB but needlessly global for multi-minute clips).
     """
     num_frames = frames.shape[0]
     num_shards = mesh.shape[_AXIS]
     assert num_frames % num_shards == 0
     block = num_frames // num_shards
+    if block < config.temporal_smoothing_radius:
+        # Halo exchange reaches one neighbor; shards smaller than Omega
+        # would need multi-hop halos, and at that size replicating the
+        # tiny state is cheaper anyway.
+        solver_mode = "replicated"
     unstab_grid = jnp.asarray(grid.vertex_grid(config, frame_height, frame_width))
 
     def step(frames_local, key):
@@ -113,28 +125,57 @@ def stabilize_sharded(
         )
         disp_pairs_local = local_cum + prefix  # displacement of frames t+1
 
-        # --- replicate the tiny temporal state for the solver ------------
-        disp_tail = jax.lax.all_gather(disp_pairs_local, _AXIS).reshape(
-            (num_frames,) + disp_pairs_local.shape[1:]
-        )
-        disp_full = jnp.concatenate(
-            [jnp.zeros_like(disp_tail[:1]), disp_tail[: num_frames - 1]], axis=0
-        )
+        # --- adaptive weights need every pair homography (tiny) ----------
         homos_full = jax.lax.all_gather(homo, _AXIS).reshape((num_frames, 3, 3))
-
         lambdas = adaptive_weights(
             homos_full, frame_width, frame_height, adaptive_weights_definition
         )
-        stab_full = jacobi_smooth(
-            disp_full,
-            lambdas,
-            config.temporal_smoothing_radius,
-            config.optimization_num_iterations,
-        )
 
-        # --- local warp + global crop ------------------------------------
-        du_local = jax.lax.dynamic_slice_in_dim(disp_full, idx * block, block)
-        ds_local = jax.lax.dynamic_slice_in_dim(stab_full, idx * block, block)
+        if solver_mode == "halo":
+            # Shift displacements one frame right across shards: this
+            # shard's frame iB takes the left neighbor's last prefix (zero
+            # on the first shard), frames iB+1.. take the local prefixes.
+            send_right = [(i, (i + 1) % num_shards) for i in range(num_shards)]
+            prev_tail = jax.lax.ppermute(
+                disp_pairs_local[-1:], _AXIS, send_right
+            )
+            first = jnp.where(idx == 0, jnp.zeros_like(prev_tail), prev_tail)
+            du_local = jnp.concatenate(
+                [first, disp_pairs_local[:-1]], axis=0
+            )
+            ds_local = jacobi_smooth_sharded(
+                du_local,
+                lambdas,
+                config.temporal_smoothing_radius,
+                config.optimization_num_iterations,
+                _AXIS,
+                num_shards,
+            )
+            # stability's FFT is global over frames; gather the tiny result
+            stab_full = jax.lax.all_gather(ds_local, _AXIS).reshape(
+                (num_frames,) + ds_local.shape[1:]
+            )
+        else:
+            # --- replicate the tiny temporal state for the solver --------
+            disp_tail = jax.lax.all_gather(disp_pairs_local, _AXIS).reshape(
+                (num_frames,) + disp_pairs_local.shape[1:]
+            )
+            disp_full = jnp.concatenate(
+                [jnp.zeros_like(disp_tail[:1]), disp_tail[: num_frames - 1]],
+                axis=0,
+            )
+            stab_full = jacobi_smooth(
+                disp_full,
+                lambdas,
+                config.temporal_smoothing_radius,
+                config.optimization_num_iterations,
+            )
+            du_local = jax.lax.dynamic_slice_in_dim(
+                disp_full, idx * block, block
+            )
+            ds_local = jax.lax.dynamic_slice_in_dim(
+                stab_full, idx * block, block
+            )
         stabilized_local, crop_local = render_stabilized(
             frames_local, du_local, ds_local, unstab_grid, config,
             frame_height, frame_width,

@@ -102,3 +102,81 @@ def jacobi_smooth(
         return inv_d * (b - offdiag_x)
 
     return jax.lax.fori_loop(0, iterations, body, b)
+
+
+def _band_matvec_halo(
+    x_local: jnp.ndarray,
+    band: jnp.ndarray,
+    omega: int,
+    axis_name: str,
+    idx: jnp.ndarray,
+    num_shards: int,
+) -> jnp.ndarray:
+    """_band_matvec over a frame-sharded state: one Omega-frame halo
+    exchange per sweep instead of replication.
+
+    x_local: (B, ...) this shard's frames; neighbors contribute their
+    Omega adjacent frames via ppermute, and the sequence boundary shards
+    substitute the zero padding of the unsharded stencil, so the result
+    is bit-identical to _band_matvec on the concatenated state.
+    """
+    block = x_local.shape[0]
+    if num_shards == 1:
+        return _band_matvec(x_local, band, omega)
+    # Halo only reaches immediate neighbors when a shard holds >= Omega
+    # frames (true for any practical chunking: B >= Omega = 10).
+    assert block >= omega, (block, omega)
+    send_right = [(i, (i + 1) % num_shards) for i in range(num_shards)]
+    send_left = [(i, (i - 1) % num_shards) for i in range(num_shards)]
+    left = jax.lax.ppermute(x_local[-omega:], axis_name, send_right)
+    right = jax.lax.ppermute(x_local[:omega], axis_name, send_left)
+    zero = jnp.zeros_like(left)
+    left = jnp.where((idx == 0), zero, left)
+    right = jnp.where((idx == num_shards - 1), zero, right)
+    xp = jnp.concatenate([left, x_local, right], axis=0)
+    out = jnp.zeros_like(x_local)
+    for j in range(2 * omega + 1):
+        out = out + band[2 * omega - j] * jax.lax.slice_in_dim(
+            xp, j, j + block, axis=0
+        )
+    return out
+
+
+def jacobi_smooth_sharded(
+    b_local: jnp.ndarray,
+    lambdas_full: jnp.ndarray,
+    omega: int,
+    iterations: int,
+    axis_name: str,
+    num_shards: int,
+) -> jnp.ndarray:
+    """jacobi_smooth with the (F, V, 2) state sharded over the frame axis.
+
+    Call inside shard_map: b_local is this shard's (B, V, 2) block of the
+    unstabilized displacements; lambdas_full is the replicated (F,)
+    adaptive-weight vector (it is tiny and already needed globally for
+    the on-diagonal row sums).  Per sweep the band correlation exchanges
+    an Omega-frame halo with each neighbor over ICI (~Omega*V*2*4 bytes)
+    rather than all_gathering the state, which is what lets
+    multi-minute / many-device clips keep the solver frame-local.
+    Bit-identical to jacobi_smooth on the gathered state.
+    """
+    block = b_local.shape[0]
+    idx = jax.lax.axis_index(axis_name)
+    band = gaussian_band(omega, b_local.dtype)
+    diag_full = on_diagonal(lambdas_full, omega)  # (F,) replicated
+    lam_local = jax.lax.dynamic_slice_in_dim(lambdas_full, idx * block, block)
+    inv_d_local = 1.0 / jax.lax.dynamic_slice_in_dim(
+        diag_full, idx * block, block
+    )
+    extra = (1,) * (b_local.ndim - 1)
+    lam = lam_local.reshape((-1,) + extra)
+    inv_d = inv_d_local.reshape((-1,) + extra)
+
+    def body(_, x):
+        offdiag_x = -2.0 * lam * _band_matvec_halo(
+            x, band, omega, axis_name, idx, num_shards
+        )
+        return inv_d * (b_local - offdiag_x)
+
+    return jax.lax.fori_loop(0, iterations, body, b_local)

@@ -1,0 +1,360 @@
+"""Two-pass streaming pipeline: O(chunk) frame residency at any clip length.
+
+The reference materializes every frame of the clip up front
+(/root/reference/meshflowstabilizer.py:201-209) and again for each later
+stage, which caps clip length by host RAM.  Here only displacement fields,
+homographies, and keypoints — O(F) small tensors — persist across the clip;
+pixels flow through in fixed-size chunks twice:
+
+pass 1 (decode -> device):  stride-(CHUNK-1) frame windows with a one-frame
+    halo feed detection + the pair LK/RANSAC/propagation scan.  Velocities
+    integrate into the same displacements as the in-memory path
+    (identical windows, identical RANSAC seeds).
+solve (device):             adaptive weights + banded Jacobi over the full
+    (F, V, 2) state — tiny regardless of resolution.
+crop (host):                mf_crop_edges derives the global crop rectangle
+    from the displacement fields alone (same arithmetic as the rendering
+    pass), so rendering can stream against a known crop.
+pass 2 (decode -> host warp -> encode + device metrics):  each chunk is
+    re-decoded, warped+cropped+stretched in one fused native call
+    (byte-identical to the two-stage path), appended to the encoder, and
+    pushed to the device for the metric tracker.
+
+Decode runs on the native prefetch thread; device work is dispatched
+asynchronously, so upload/compute/CPU warp overlap.  Results are identical
+to MeshFlowStabilizer._stabilize_frames on the host-render path.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from meshflow_tpu.config import MeshFlowConfig
+from meshflow_tpu.io import native as native_io
+from meshflow_tpu.io import video as video_io
+from meshflow_tpu.metrics.quality import (
+    cropping_and_distortion_scanned,
+    stability_score,
+)
+from meshflow_tpu.motion.pipeline import (
+    integrate_velocities,
+    pair_velocity_scan,
+    pair_velocity_scan_pallas,
+    prepare_frames,
+    use_pallas_lk,
+)
+from meshflow_tpu.render import host as host_render
+from meshflow_tpu.solver.jacobi import jacobi_smooth
+from meshflow_tpu.solver.weights import adaptive_weights
+from meshflow_tpu.utils.transfer import sync
+
+
+class ChunkReader:
+    """Sequential frame reader: native (prefetch thread) or cv2 fallback.
+
+    Raises the reference's IOError shape on a short clip
+    (meshflowstabilizer.py:204-208) when close(check=True) is called.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._native = None
+        self._cv = None
+        if native_io.available():
+            self._native = native_io.NativeReader(path)
+            self.num_frames = self._native.num_frames
+        else:
+            import cv2
+
+            self._cv = cv2.VideoCapture(path)
+            if not self._cv.isOpened():
+                self._cv.release()
+                raise IOError(f"Could not open video at <{path}>.")
+            self.num_frames = int(self._cv.get(cv2.CAP_PROP_FRAME_COUNT))
+        self._read = 0
+
+    def read(self, n: int) -> np.ndarray:
+        if self._native is not None:
+            batch = self._native.read(n)
+            self._read += len(batch)
+            return batch
+        frames = []
+        while len(frames) < n:
+            ok, frame = self._cv.read()
+            if not ok:
+                break
+            frames.append(frame)
+        self._read += len(frames)
+        return (
+            np.stack(frames)
+            if frames
+            else np.zeros((0, 0, 0, 3), np.uint8)
+        )
+
+    def close(self, check: bool = False):
+        if self._native is not None:
+            self._native.close()
+        if self._cv is not None:
+            self._cv.release()
+        if check and self.num_frames and self._read < self.num_frames:
+            raise IOError(
+                f"Video at <{self.path}> did not have frame {self._read} of "
+                f"{self.num_frames} (indexed from 0)."
+            )
+
+
+class StreamWriter:
+    """Incremental encoder with write_video's codec-fallback semantics."""
+
+    def __init__(self, path: str, width: int, height: int, fps: float, fourcc: int):
+        self._native = None
+        self._cv = None
+        self.path = path
+        if native_io.available():
+            try:
+                self._native = native_io.NativeWriter(
+                    path, width, height, fps, fourcc
+                )
+            except IOError:
+                self._native = None
+        if self._native is None:
+            import cv2
+
+            writer = cv2.VideoWriter(path, fourcc, fps, (width, height))
+            if not writer.isOpened():
+                writer.release()
+                writer = cv2.VideoWriter(
+                    path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (width, height)
+                )
+            if not writer.isOpened():
+                writer.release()
+                raise IOError(f"Could not open a video encoder for <{path}>.")
+            self._cv = writer
+
+    def write(self, frames: np.ndarray):
+        if self._native is not None:
+            written = self._native.write(frames)
+            if written != len(frames):
+                raise IOError(f"Native encoder failed for <{self.path}>.")
+            return
+        for frame in frames:
+            self._cv.write(np.ascontiguousarray(frame))
+
+    def close(self):
+        if self._native is not None:
+            rc = self._native.close()
+            self._native = None
+            if rc != 0:
+                raise IOError(f"Native encoder failed for <{self.path}>.")
+        if self._cv is not None:
+            self._cv.release()
+            self._cv = None
+
+
+def _pad_frames(a: np.ndarray, n: int) -> np.ndarray:
+    """Edge-pad a numpy frame batch along axis 0 to length n."""
+    if a.shape[0] == n:
+        return a
+    reps = np.repeat(a[-1:], n - a.shape[0], axis=0)
+    return np.concatenate([a, reps], axis=0)
+
+
+def _pad_dev(a: jnp.ndarray, n: int) -> jnp.ndarray:
+    if a.shape[0] == n:
+        return a
+    padding = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(a, padding, mode="edge")
+
+
+class _Acc:
+    """Accumulating wall-clock buckets reported as pipeline stages."""
+
+    def __init__(self, timer):
+        self.timer = timer
+        self.buckets: dict = {}
+
+    def add(self, name: str, seconds: float):
+        self.buckets[name] = self.buckets.get(name, 0.0) + seconds
+
+    def flush(self, order):
+        for name in order:
+            if name in self.buckets:
+                self.timer.stages.append((name, self.buckets[name]))
+
+
+def stabilize_streamed(
+    input_path: str,
+    output_path: str,
+    adaptive_weights_definition: int,
+    config: MeshFlowConfig,
+    key: jax.Array,
+    timer,
+    chunk: int = 64,
+):
+    """Streaming stabilize: returns (cropping_ratio, distortion, stability).
+
+    Requires the native fused renderer (host_render.streaming_available()).
+    """
+    info = video_io.probe_video(input_path)
+    h, w = info.height, info.width
+    num_frames = info.num_frames
+    chunk = min(chunk, max(num_frames, 2))
+    acc = _Acc(timer)
+
+    scan_fn = (
+        pair_velocity_scan_pallas if use_pallas_lk() else pair_velocity_scan
+    )
+
+    # ---- pass 1: windows of `chunk` frames, stride chunk-1 (1-frame halo)
+    reader = ChunkReader(input_path)
+    halo_np = None
+    kps_parts = []  # device keypoint pytrees, one per window (new frames only)
+    vel_parts, homo_parts, ok_parts = [], [], []
+    pair_base = 0
+    key_motion = jax.random.fold_in(key, 1)
+    while True:
+        t0 = time.perf_counter()
+        want = chunk if halo_np is None else chunk - 1
+        batch = reader.read(want)
+        acc.add("decode", time.perf_counter() - t0)
+        if batch.shape[0] == 0:
+            break
+        t0 = time.perf_counter()
+        window_np = (
+            batch
+            if halo_np is None
+            else np.concatenate([halo_np, batch], axis=0)
+        )
+        n_win = window_np.shape[0]
+        halo_np = window_np[-1:]
+        frames_c = jnp.asarray(_pad_frames(window_np, chunk))
+        acc.add("host->device", time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        kps_c, _ = prepare_frames(frames_c, config)
+        new0 = n_win - batch.shape[0]
+        kps_parts.append(
+            (jax.tree.map(lambda a: a[new0:n_win], kps_c), batch.shape[0])
+        )
+        vel, homo, ok = scan_fn(
+            kps_c, frames_c, key_motion,
+            jnp.asarray(pair_base, jnp.int32), config, h, w,
+        )
+        real_pairs = min(chunk - 1, max(num_frames - 1 - pair_base, 0))
+        real_pairs = min(real_pairs, n_win - 1)
+        vel_parts.append(vel[:real_pairs])
+        homo_parts.append(homo[:real_pairs])
+        ok_parts.append(ok[:real_pairs])
+        pair_base += real_pairs
+        acc.add("detect+motion (dispatch)", time.perf_counter() - t0)
+    reader.close(check=True)
+
+    t0 = time.perf_counter()
+    velocities = jnp.concatenate(vel_parts, axis=0)
+    homographies = jnp.concatenate(homo_parts, axis=0)
+    pair_ok = jnp.concatenate(ok_parts, axis=0)
+    motion = integrate_velocities(velocities, homographies, pair_ok)
+    keypoints = jax.tree.map(
+        lambda *parts: jnp.concatenate(parts, axis=0),
+        *[p for p, _ in kps_parts],
+    )
+    sync(motion.displacements)
+    acc.add("motion (sync)", time.perf_counter() - t0)
+
+    # ---- solve
+    t0 = time.perf_counter()
+    lambdas = adaptive_weights(
+        motion.homographies, w, h, adaptive_weights_definition
+    )
+    stab_disp = jacobi_smooth(
+        motion.displacements,
+        lambdas,
+        config.temporal_smoothing_radius,
+        config.optimization_num_iterations,
+    )
+    du_np = np.asarray(motion.displacements)
+    ds_np = np.asarray(stab_disp)
+    acc.add("solver", time.perf_counter() - t0)
+
+    # ---- global crop from displacement fields alone
+    t0 = time.perf_counter()
+    crop = host_render.crop_edges_host(du_np, ds_np, h, w, config)
+    crop_dev = jnp.asarray(crop, jnp.int32)
+    acc.add("crop scan (host)", time.perf_counter() - t0)
+
+    # ---- pass 2: re-decode -> fused warp+crop -> encode + metrics
+    reader = ChunkReader(input_path)
+    writer = StreamWriter(output_path, w, h, info.fps, info.fourcc)
+    key_metrics = jax.random.fold_in(key, 2)
+    ratio_parts, dist_parts = [], []
+    start = 0
+    while True:
+        t0 = time.perf_counter()
+        batch = reader.read(chunk)
+        acc.add("decode", time.perf_counter() - t0)
+        n = batch.shape[0]
+        if n == 0:
+            break
+        t0 = time.perf_counter()
+        cropped_np = host_render.render_cropped_host(
+            batch, du_np[start : start + n], ds_np[start : start + n],
+            crop, config,
+        )
+        acc.add("warp+crop (host)", time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        writer.write(cropped_np)
+        acc.add("encode", time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        unstab_c = _pad_dev(jnp.asarray(batch), chunk)
+        cropped_c = _pad_dev(jnp.asarray(cropped_np), chunk)
+        kps_c = jax.tree.map(
+            lambda a: _pad_dev(
+                jax.lax.dynamic_slice_in_dim(a, start, n, axis=0), chunk
+            ),
+            keypoints,
+        )
+        r, d = cropping_and_distortion_scanned(
+            kps_c, unstab_c, cropped_c, key_metrics,
+            jnp.asarray(start, jnp.int32), config, h, w,
+            crop_rect=crop_dev,
+        )
+        ratio_parts.append(r[:n])
+        dist_parts.append(d[:n])
+        start += n
+        acc.add("metrics (dispatch)", time.perf_counter() - t0)
+    reader.close()
+    t0 = time.perf_counter()
+    writer.close()
+    acc.add("encode", time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    cropping_ratio = jnp.mean(jnp.concatenate(ratio_parts))
+    distortion_score = jnp.min(jnp.concatenate(dist_parts))
+    stability = stability_score(stab_disp)
+    sync(cropping_ratio, distortion_score, stability)
+    acc.add("metrics (sync)", time.perf_counter() - t0)
+
+    acc.flush(
+        [
+            "decode",
+            "host->device",
+            "detect+motion (dispatch)",
+            "motion (sync)",
+            "solver",
+            "crop scan (host)",
+            "warp+crop (host)",
+            "encode",
+            "metrics (dispatch)",
+            "metrics (sync)",
+        ]
+    )
+    return (
+        float(cropping_ratio),
+        float(distortion_score),
+        float(stability),
+    )

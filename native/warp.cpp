@@ -107,6 +107,118 @@ void parallel_for(long n, const std::function<void(long, long)>& fn) {
     for (auto& th : pool) th.join();
 }
 
+// Fill one frame's backward maps (map_x/map_y/pri) from its displacement
+// fields, optionally restricted to the pixel region [ry0..ry1]x[rx0..rx1].
+void rasterize_maps(
+    const float* du, const float* ds, long height, long width,
+    long mesh_rows, long mesh_cols, long rx0, long rx1, long ry0, long ry1,
+    H33* hinv, float* map_x, float* map_y, int32_t* pri) {
+    const long vc = mesh_cols + 1;
+    const long rw = rx1 - rx0 + 1, rh = ry1 - ry0 + 1;
+
+    // Per-cell inverse homography: stabilized quad -> unstab rect.
+    for (long r = 0; r < mesh_rows; ++r) {
+        for (long c = 0; c < mesh_cols; ++c) {
+            double stab[8], unstab[8];
+            int k = 0;
+            for (int dr = 0; dr < 2; ++dr) {
+                for (int dc = 0; dc < 2; ++dc) {
+                    long vi = ((r + dr) * vc + (c + dc)) * 2;
+                    double ux = static_cast<double>(
+                        grid_line(c + dc, mesh_cols, width));
+                    double uy = static_cast<double>(
+                        grid_line(r + dr, mesh_rows, height));
+                    unstab[k * 2] = ux;
+                    unstab[k * 2 + 1] = uy;
+                    stab[k * 2] = ux + (ds[vi] - du[vi]);
+                    stab[k * 2 + 1] = uy + (ds[vi + 1] - du[vi + 1]);
+                    ++k;
+                }
+            }
+            hinv[r * mesh_cols + c] =
+                matmul(unit_to_quad(unstab), adjugate(unit_to_quad(stab)));
+        }
+    }
+
+    std::fill(map_x, map_x + rh * rw, static_cast<float>(width + 1));
+    std::fill(map_y, map_y + rh * rw, static_cast<float>(height + 1));
+    std::fill(pri, pri + rh * rw, -1);
+
+    // Rasterize cells in row-major order (later cells win via priority
+    // compare == overwrite order of the reference).
+    for (long r = 0; r < mesh_rows; ++r) {
+        for (long c = 0; c < mesh_cols; ++c) {
+            const H33& h = hinv[r * mesh_cols + c];
+            const double left = grid_line(c, mesh_cols, width);
+            const double right = grid_line(c + 1, mesh_cols, width);
+            const double top = grid_line(r, mesh_rows, height);
+            const double bottom = grid_line(r + 1, mesh_rows, height);
+            // stabilized-space bbox of this cell's quad (+2 slack)
+            double minx = 1e30, maxx = -1e30, miny = 1e30, maxy = -1e30;
+            for (int dr = 0; dr < 2; ++dr)
+                for (int dc = 0; dc < 2; ++dc) {
+                    long vi = ((r + dr) * vc + (c + dc)) * 2;
+                    double sxp = grid_line(c + dc, mesh_cols, width) +
+                                 (ds[vi] - du[vi]);
+                    double syp = grid_line(r + dr, mesh_rows, height) +
+                                 (ds[vi + 1] - du[vi + 1]);
+                    minx = std::min(minx, sxp);
+                    maxx = std::max(maxx, sxp);
+                    miny = std::min(miny, syp);
+                    maxy = std::max(maxy, syp);
+                }
+            long x0 = std::max<long>(rx0, (long)std::floor(minx) - 2);
+            long x1 = std::min<long>(rx1, (long)std::ceil(maxx) + 2);
+            long y0 = std::max<long>(ry0, (long)std::floor(miny) - 2);
+            long y1 = std::min<long>(ry1, (long)std::ceil(maxy) + 2);
+            int32_t key = static_cast<int32_t>(r * mesh_cols + c);
+            for (long y = y0; y <= y1; ++y) {
+                for (long x = x0; x <= x1; ++x) {
+                    double d = h.m[6] * x + h.m[7] * y + h.m[8];
+                    if (std::fabs(d) < 1e-12) continue;
+                    double qx = (h.m[0] * x + h.m[1] * y + h.m[2]) / d;
+                    double qy = (h.m[3] * x + h.m[4] * y + h.m[5]) / d;
+                    if (qx > left - 1.0 && qx < right + 1.0 &&
+                        qy > top - 1.0 && qy < bottom + 1.0) {
+                        long idx = (y - ry0) * rw + (x - rx0);
+                        if (key > pri[idx]) {
+                            pri[idx] = key;
+                            map_x[idx] = static_cast<float>(qx);
+                            map_y[idx] = static_cast<float>(qy);
+                        }
+                    }
+                }
+            }
+        }
+    }
+}
+
+// Bilinear remap of one pixel (constant border outside the source).
+inline void remap_px(
+    const uint8_t* src, long height, long width, float mx, float my,
+    const uint8_t* border, uint8_t* px) {
+    double fx0 = std::floor((double)mx), fy0 = std::floor((double)my);
+    double ax = mx - fx0, ay = my - fy0;
+    long ix0 = (long)fx0, iy0 = (long)fy0;
+    for (int ch = 0; ch < 3; ++ch) {
+        double acc = 0;
+        for (int dy = 0; dy < 2; ++dy) {
+            for (int dx2 = 0; dx2 < 2; ++dx2) {
+                long tx = ix0 + dx2, ty = iy0 + dy;
+                double wgt = (dx2 ? ax : 1.0 - ax) * (dy ? ay : 1.0 - ay);
+                double v;
+                if (tx < 0 || tx >= width || ty < 0 || ty >= height)
+                    v = border[ch];
+                else
+                    v = src[(ty * width + tx) * 3 + ch];
+                acc += wgt * v;
+            }
+        }
+        double rounded = std::nearbyint(acc);
+        px[ch] = (uint8_t)std::min(255.0, std::max(0.0, rounded));
+    }
+}
+
 }  // namespace
 
 // Render stabilized frames + per-frame crop edges.
@@ -133,92 +245,10 @@ extern "C" void mf_render(
         for (long f = f0; f < f1; ++f) {
             const float* du = unstab_disp + f * vr * vc * 2;
             const float* ds = stab_disp + f * vr * vc * 2;
-
-            // Per-cell inverse homography: stabilized quad -> unstab rect.
-            for (long r = 0; r < mesh_rows; ++r) {
-                for (long c = 0; c < mesh_cols; ++c) {
-                    double stab[8], unstab[8];
-                    int k = 0;
-                    for (int dr = 0; dr < 2; ++dr) {
-                        for (int dc = 0; dc < 2; ++dc) {
-                            long vi = ((r + dr) * vc + (c + dc)) * 2;
-                            double ux = static_cast<double>(
-                                grid_line(c + dc, mesh_cols, width));
-                            double uy = static_cast<double>(
-                                grid_line(r + dr, mesh_rows, height));
-                            unstab[k * 2] = ux;
-                            unstab[k * 2 + 1] = uy;
-                            stab[k * 2] = ux + (ds[vi] - du[vi]);
-                            stab[k * 2 + 1] = uy + (ds[vi + 1] - du[vi + 1]);
-                            ++k;
-                        }
-                    }
-                    hinv[r * mesh_cols + c] =
-                        matmul(unit_to_quad(unstab),
-                               adjugate(unit_to_quad(stab)));
-                }
-            }
-
-            std::fill(map_x.begin(), map_x.end(),
-                      static_cast<float>(width + 1));
-            std::fill(map_y.begin(), map_y.end(),
-                      static_cast<float>(height + 1));
-            std::fill(pri.begin(), pri.end(), -1);
-
-            // Rasterize cells in row-major order (later cells win via
-            // priority compare == overwrite order of the reference).
-            for (long r = 0; r < mesh_rows; ++r) {
-                for (long c = 0; c < mesh_cols; ++c) {
-                    const H33& h = hinv[r * mesh_cols + c];
-                    const double left = grid_line(c, mesh_cols, width);
-                    const double right = grid_line(c + 1, mesh_cols, width);
-                    const double top = grid_line(r, mesh_rows, height);
-                    const double bottom = grid_line(r + 1, mesh_rows, height);
-                    // stabilized-space bbox of this cell's quad (+2 slack)
-                    double minx = 1e30, maxx = -1e30, miny = 1e30,
-                           maxy = -1e30;
-                    for (int dr = 0; dr < 2; ++dr)
-                        for (int dc = 0; dc < 2; ++dc) {
-                            long vi = ((r + dr) * vc + (c + dc)) * 2;
-                            double sxp =
-                                grid_line(c + dc, mesh_cols, width) +
-                                (ds[vi] - du[vi]);
-                            double syp =
-                                grid_line(r + dr, mesh_rows, height) +
-                                (ds[vi + 1] - du[vi + 1]);
-                            minx = std::min(minx, sxp);
-                            maxx = std::max(maxx, sxp);
-                            miny = std::min(miny, syp);
-                            maxy = std::max(maxy, syp);
-                        }
-                    long x0 = std::max<long>(0, (long)std::floor(minx) - 2);
-                    long x1 = std::min<long>(width - 1,
-                                             (long)std::ceil(maxx) + 2);
-                    long y0 = std::max<long>(0, (long)std::floor(miny) - 2);
-                    long y1 = std::min<long>(height - 1,
-                                             (long)std::ceil(maxy) + 2);
-                    int32_t key = static_cast<int32_t>(r * mesh_cols + c);
-                    for (long y = y0; y <= y1; ++y) {
-                        for (long x = x0; x <= x1; ++x) {
-                            double d = h.m[6] * x + h.m[7] * y + h.m[8];
-                            if (std::fabs(d) < 1e-12) continue;
-                            double qx =
-                                (h.m[0] * x + h.m[1] * y + h.m[2]) / d;
-                            double qy =
-                                (h.m[3] * x + h.m[4] * y + h.m[5]) / d;
-                            if (qx > left - 1.0 && qx < right + 1.0 &&
-                                qy > top - 1.0 && qy < bottom + 1.0) {
-                                long idx = y * width + x;
-                                if (key > pri[idx]) {
-                                    pri[idx] = key;
-                                    map_x[idx] = static_cast<float>(qx);
-                                    map_y[idx] = static_cast<float>(qy);
-                                }
-                            }
-                        }
-                    }
-                }
-            }
+            rasterize_maps(du, ds, height, width, mesh_rows, mesh_cols,
+                           0, width - 1, 0, height - 1,
+                           hinv.data(), map_x.data(), map_y.data(),
+                           pri.data());
 
             // Remap (bilinear, constant border) + crop-edge scan.
             const uint8_t* src = frames + f * height * width * 3;
@@ -255,28 +285,64 @@ extern "C" void mf_render(
                         px[2] = border[2];
                         continue;
                     }
-                    double fx0 = std::floor(mx), fy0 = std::floor(my);
-                    double ax = mx - fx0, ay = my - fy0;
-                    long ix0 = (long)fx0, iy0 = (long)fy0;
-                    for (int ch = 0; ch < 3; ++ch) {
-                        double acc = 0;
-                        for (int dy = 0; dy < 2; ++dy) {
-                            for (int dx2 = 0; dx2 < 2; ++dx2) {
-                                long tx = ix0 + dx2, ty = iy0 + dy;
-                                double wgt = (dx2 ? ax : 1.0 - ax) *
-                                             (dy ? ay : 1.0 - ay);
-                                double v;
-                                if (tx < 0 || tx >= width || ty < 0 ||
-                                    ty >= height)
-                                    v = border[ch];
-                                else
-                                    v = src[(ty * width + tx) * 3 + ch];
-                                acc += wgt * v;
-                            }
-                        }
-                        double rounded = std::nearbyint(acc);
-                        px[ch] = (uint8_t)std::min(
-                            255.0, std::max(0.0, rounded));
+                    remap_px(src, height, width, mx, my, border, px);
+                }
+            }
+            out_edges[f * 4 + 0] = (int32_t)e_left;
+            out_edges[f * 4 + 1] = (int32_t)e_top;
+            out_edges[f * 4 + 2] = (int32_t)e_right;
+            out_edges[f * 4 + 3] = (int32_t)e_bottom;
+        }
+    });
+}
+
+// Per-frame crop edges only (no pixel IO): identical map rasterization and
+// edge-scan arithmetic to mf_render, so a streaming caller can learn the
+// global crop rectangle from the displacement fields alone before any
+// frame is re-decoded for rendering.
+extern "C" void mf_crop_edges(
+    const float* unstab_disp, const float* stab_disp, long num_frames,
+    long height, long width, long mesh_rows, long mesh_cols,
+    int32_t* out_edges) {
+    const long vr = mesh_rows + 1, vc = mesh_cols + 1;
+    const long cells = mesh_rows * mesh_cols;
+
+    parallel_for(num_frames, [&](long f0, long f1) {
+        std::vector<float> map_x(height * width);
+        std::vector<float> map_y(height * width);
+        std::vector<int32_t> pri(height * width);
+        std::vector<H33> hinv(cells);
+
+        for (long f = f0; f < f1; ++f) {
+            const float* du = unstab_disp + f * vr * vc * 2;
+            const float* ds = stab_disp + f * vr * vc * 2;
+            rasterize_maps(du, ds, height, width, mesh_rows, mesh_cols,
+                           0, width - 1, 0, height - 1,
+                           hinv.data(), map_x.data(), map_y.data(),
+                           pri.data());
+            long e_left = 0, e_right = width - 1, e_top = 0,
+                 e_bottom = height - 1;
+            bool f_left = false, f_right = false, f_top = false,
+                 f_bottom = false;
+            for (long y = 0; y < height; ++y) {
+                for (long x = 0; x < width; ++x) {
+                    long idx = y * width + x;
+                    float mx = map_x[idx], my = map_y[idx];
+                    if (std::fabs(mx) < 1.0f) {
+                        if (!f_left || x > e_left) e_left = x;
+                        f_left = true;
+                    }
+                    if (std::fabs(mx - (width - 1)) < 1.0f) {
+                        if (!f_right || x < e_right) e_right = x;
+                        f_right = true;
+                    }
+                    if (std::fabs(my) < 1.0f) {
+                        if (!f_top || y > e_top) e_top = y;
+                        f_top = true;
+                    }
+                    if (std::fabs(my - (height - 1)) < 1.0f) {
+                        if (!f_bottom || y < e_bottom) e_bottom = y;
+                        f_bottom = true;
                     }
                 }
             }
@@ -284,6 +350,97 @@ extern "C" void mf_render(
             out_edges[f * 4 + 1] = (int32_t)e_top;
             out_edges[f * 4 + 2] = (int32_t)e_right;
             out_edges[f * 4 + 3] = (int32_t)e_bottom;
+        }
+    });
+}
+
+// Fused warp + crop + stretch for a chunk, given the already-known global
+// crop rectangle: stabilized pixels are produced only over the crop region
+// (same uint8 rounding as mf_render's full-frame pass), then stretched to
+// (W, H) with mf_crop_resize's exact sampling tables — byte-identical to
+// running the two stages separately, at ~crop-area cost.
+extern "C" void mf_render_cropped(
+    const uint8_t* frames, const float* unstab_disp, const float* stab_disp,
+    long num_frames, long height, long width, long mesh_rows, long mesh_cols,
+    const uint8_t* border, int32_t left, int32_t top, int32_t right,
+    int32_t bottom, uint8_t* out_frames) {
+    const long vr = mesh_rows + 1, vc = mesh_cols + 1;
+    const long cells = mesh_rows * mesh_cols;
+    const long rw = right - left + 1, rh = bottom - top + 1;
+    const double crop_w = rw, crop_h = rh;
+    const double sx = crop_w / width;
+    const double sy = crop_h / height;
+
+    // Stretch sampling tables: global arithmetic bit-identical to
+    // mf_crop_resize (frac of v+left, not of v), indices region-local.
+    std::vector<long> xi(width), yi(height);
+    std::vector<double> xf(width), yf(height);
+    for (long x = 0; x < width; ++x) {
+        double v = (x + 0.5) * sx - 0.5;
+        v = std::min(std::max(v, 0.0), crop_w - 1.0) + left;
+        long g = (long)std::floor(v);
+        xi[x] = g - left;
+        xf[x] = v - g;
+    }
+    for (long y = 0; y < height; ++y) {
+        double v = (y + 0.5) * sy - 0.5;
+        v = std::min(std::max(v, 0.0), crop_h - 1.0) + top;
+        long g = (long)std::floor(v);
+        yi[y] = g - top;
+        yf[y] = v - g;
+    }
+
+    parallel_for(num_frames, [&](long f0, long f1) {
+        std::vector<float> map_x(rh * rw);
+        std::vector<float> map_y(rh * rw);
+        std::vector<int32_t> pri(rh * rw);
+        std::vector<H33> hinv(cells);
+        std::vector<uint8_t> stab(rh * rw * 3);
+
+        for (long f = f0; f < f1; ++f) {
+            const float* du = unstab_disp + f * vr * vc * 2;
+            const float* ds = stab_disp + f * vr * vc * 2;
+            rasterize_maps(du, ds, height, width, mesh_rows, mesh_cols,
+                           left, right, top, bottom,
+                           hinv.data(), map_x.data(), map_y.data(),
+                           pri.data());
+
+            const uint8_t* src = frames + f * height * width * 3;
+            for (long idx = 0; idx < rh * rw; ++idx) {
+                uint8_t* px = stab.data() + idx * 3;
+                if (pri[idx] < 0) {
+                    px[0] = border[0];
+                    px[1] = border[1];
+                    px[2] = border[2];
+                    continue;
+                }
+                remap_px(src, height, width, map_x[idx], map_y[idx],
+                         border, px);
+            }
+
+            uint8_t* dst = out_frames + f * height * width * 3;
+            for (long y = 0; y < height; ++y) {
+                long y0 = yi[y];
+                long y1 = std::min<long>(y0 + 1, rh - 1);
+                double ay = yf[y];
+                for (long x = 0; x < width; ++x) {
+                    long x0 = xi[x];
+                    long x1 = std::min<long>(x0 + 1, rw - 1);
+                    double ax = xf[x];
+                    const uint8_t* p00 = stab.data() + (y0 * rw + x0) * 3;
+                    const uint8_t* p01 = stab.data() + (y0 * rw + x1) * 3;
+                    const uint8_t* p10 = stab.data() + (y1 * rw + x0) * 3;
+                    const uint8_t* p11 = stab.data() + (y1 * rw + x1) * 3;
+                    uint8_t* px = dst + (y * width + x) * 3;
+                    for (int ch = 0; ch < 3; ++ch) {
+                        double v = (1 - ay) * ((1 - ax) * p00[ch] +
+                                               ax * p01[ch]) +
+                                   ay * ((1 - ax) * p10[ch] + ax * p11[ch]);
+                        px[ch] = (uint8_t)std::min(
+                            255.0, std::max(0.0, std::nearbyint(v)));
+                    }
+                }
+            }
         }
     });
 }

@@ -113,3 +113,37 @@ def test_cli_end_to_end(tmp_path, rng):
     metrics = json.loads(line)
     assert set(metrics) >= {"cropping_ratio", "distortion_score", "stability_score"}
     assert out.exists()
+
+
+@pytest.mark.slow
+def test_streamed_matches_in_memory(tmp_path, rng, monkeypatch):
+    """The two-pass streaming pipeline is bit-identical to the in-memory
+    host-render path: same metric tuple, same output pixels (multi-window
+    clip exercises the stride-(chunk-1) halo logic with CHUNK=16)."""
+    from meshflow_tpu.render import host as host_render
+
+    if not host_render.streaming_available():
+        pytest.skip("native streaming renderer not built")
+    clip = tmp_path / "in.avi"
+    _write_clip(clip, rng, num_frames=40, h=120, w=160)
+
+    results, outs = {}, {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("MESHFLOW_STREAM", mode)
+        monkeypatch.setenv("MESHFLOW_RENDER", "host")
+        m = MeshFlowStabilizer()
+        m.CHUNK = 16
+        out = tmp_path / f"out_{mode}.avi"
+        results[mode] = m.stabilize(str(clip), str(out), 0)
+        cap = cv2.VideoCapture(str(out))
+        frames = []
+        while True:
+            ok, f = cap.read()
+            if not ok:
+                break
+            frames.append(f)
+        cap.release()
+        outs[mode] = np.stack(frames)
+
+    assert results["0"] == results["1"]
+    np.testing.assert_array_equal(outs["0"], outs["1"])

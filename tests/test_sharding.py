@@ -87,3 +87,25 @@ def test_sharded_runs_on_eight_devices(rng):
     )
     assert np.isfinite([cr, ds, ss]).all()
     assert np.asarray(cropped).shape == (16, 96, 128, 3)
+
+
+@pytest.mark.slow
+def test_halo_solver_matches_replicated(rng):
+    """Omega-halo sharded Jacobi == replicated solve, 4 shards x 12 frames
+    (block > Omega so the halo path actually engages)."""
+    config = _small_config()
+    frames = _clip(rng, 48)
+    key = jax.random.PRNGKey(5)
+    mesh = make_mesh(jax.devices("cpu")[:4])
+    sharded = jax.device_put(jnp.asarray(frames), frame_sharding(mesh))
+
+    outs = {}
+    for mode in ("replicated", "halo"):
+        cropped, crop, cr, ds, ss = stabilize_sharded(
+            sharded, key, config, 96, 128, mesh, solver_mode=mode
+        )
+        outs[mode] = (np.asarray(cropped), np.asarray(crop), float(cr), float(ds), float(ss))
+
+    np.testing.assert_array_equal(outs["halo"][0], outs["replicated"][0])
+    np.testing.assert_array_equal(outs["halo"][1], outs["replicated"][1])
+    assert outs["halo"][2:] == outs["replicated"][2:]
