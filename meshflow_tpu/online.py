@@ -66,10 +66,9 @@ class OnlineState(NamedTuple):
         "frame_width",
         "adaptive_weights_definition",
         "crop_ratio",
-        "refine_iterations",
     ),
 )
-def online_step(
+def online_motion_solve(
     state: OnlineState,
     frame: jnp.ndarray,
     key: jax.Array,
@@ -78,13 +77,17 @@ def online_step(
     frame_width: int,
     adaptive_weights_definition: int = 0,
     crop_ratio: float = 0.8,
-    refine_iterations: int = 10,
 ):
-    """One streaming step: (state, frame t) -> (new state, stabilized frame).
+    """Motion + causal solve for one frame: (state, frame t) ->
+    (new state, c_t, p_t).
 
-    refine_iterations: coordinate-descent refinements of p_t against the
-    causal window (each is the exact minimizer of the energy in p_t given
-    the frozen past, so a handful suffice).
+    The stabilizing shift p_t - c_t is clamped per vertex to the reserved
+    cropping margin, the paper's online-crop policy ("MeshFlow: Minimum
+    Latency Online Video Stabilization" pre-reserves a margin and
+    restricts the path update so the fixed crop never exposes border):
+    a shift of +-margin moves content by exactly the strip the fixed crop
+    discards, so any clamped warp keeps the crop window covered (exact
+    for translation, conservative per-vertex for general mesh warps).
     """
     omega = config.temporal_smoothing_radius
     unstab_grid = jnp.asarray(grid.vertex_grid(config, frame_height, frame_width))
@@ -128,28 +131,90 @@ def online_step(
     # Exact minimizer of the causal energy in p_t with the past frozen.
     p_t = (c_t + 2.0 * lam * weighted_past) / denom
 
-    stab_window = jnp.concatenate([state.stab_window[1:], p_t[None]], axis=0)
-
-    stab_pos = unstab_grid + (p_t - c_t)
-    bmap = backward_map(stab_pos, unstab_grid, config, frame_height, frame_width)
-    border = jnp.asarray(config.color_outside_image_area_bgr, jnp.float32)
-    stabilized = warp_frame(frame, bmap, border)
-
-    # Fixed online crop: centered crop_ratio rectangle stretched back.
-    margin_x = int(round(frame_width * (1.0 - crop_ratio) / 2))
-    margin_y = int(round(frame_height * (1.0 - crop_ratio) / 2))
-    crop = jnp.asarray(
-        [margin_x, margin_y, frame_width - 1 - margin_x, frame_height - 1 - margin_y],
-        jnp.int32,
+    # Reserved-margin clamp: keep the stabilizing shift inside the strip
+    # the fixed crop discards, so border never enters the crop window.
+    margin_x, margin_y = _online_margins(frame_width, frame_height, crop_ratio)
+    shift = p_t - c_t
+    shift = jnp.clip(
+        shift,
+        jnp.asarray([-margin_x, -margin_y], jnp.float32),
+        jnp.asarray([margin_x, margin_y], jnp.float32),
     )
-    out = crop_resize_frame(stabilized, crop, frame_height, frame_width)
+    p_t = c_t + shift
 
+    stab_window = jnp.concatenate([state.stab_window[1:], p_t[None]], axis=0)
     new_state = OnlineState(
         prev_frame=frame,
         unstab_window=unstab_window,
         stab_window=stab_window,
         step=state.step + 1,
     )
+    return new_state, c_t, p_t
+
+
+def _online_margins(frame_width: int, frame_height: int, crop_ratio: float):
+    return (
+        int(round(frame_width * (1.0 - crop_ratio) / 2)),
+        int(round(frame_height * (1.0 - crop_ratio) / 2)),
+    )
+
+
+def online_crop_rect(
+    frame_width: int, frame_height: int, crop_ratio: float
+) -> np.ndarray:
+    """The fixed reserved-margin crop [left, top, right, bottom]."""
+    margin_x, margin_y = _online_margins(frame_width, frame_height, crop_ratio)
+    return np.asarray(
+        [
+            margin_x,
+            margin_y,
+            frame_width - 1 - margin_x,
+            frame_height - 1 - margin_y,
+        ],
+        np.int32,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config",
+        "frame_height",
+        "frame_width",
+        "adaptive_weights_definition",
+        "crop_ratio",
+    ),
+)
+def online_step(
+    state: OnlineState,
+    frame: jnp.ndarray,
+    key: jax.Array,
+    config: MeshFlowConfig,
+    frame_height: int,
+    frame_width: int,
+    adaptive_weights_definition: int = 0,
+    crop_ratio: float = 0.8,
+):
+    """One streaming step: (state, frame t) -> (new state, stabilized frame).
+
+    Device-warp variant (pixels stay on device).  Deployments where
+    pulling pixels off the accelerator is expensive should use
+    OnlineMeshFlowStabilizer, which pulls only (c_t, p_t) and warps with
+    the native host renderer.
+    """
+    unstab_grid = jnp.asarray(grid.vertex_grid(config, frame_height, frame_width))
+    new_state, c_t, p_t = online_motion_solve(
+        state, frame, key, config, frame_height, frame_width,
+        adaptive_weights_definition, crop_ratio,
+    )
+    stab_pos = unstab_grid + (p_t - c_t)
+    bmap = backward_map(stab_pos, unstab_grid, config, frame_height, frame_width)
+    border = jnp.asarray(config.color_outside_image_area_bgr, jnp.float32)
+    stabilized = warp_frame(frame, bmap, border)
+    crop = jnp.asarray(
+        online_crop_rect(frame_width, frame_height, crop_ratio), jnp.int32
+    )
+    out = crop_resize_frame(stabilized, crop, frame_height, frame_width)
     return new_state, out
 
 
@@ -172,7 +237,15 @@ class OnlineMeshFlowStabilizer:
         self._shape = None
 
     def process(self, frame: np.ndarray) -> np.ndarray:
-        """frame: (H, W, 3) uint8 BGR -> stabilized (H, W, 3) uint8 BGR."""
+        """frame: (H, W, 3) uint8 BGR -> stabilized (H, W, 3) uint8 BGR.
+
+        When the native host renderer is built, only the tiny (c_t, p_t)
+        displacement fields come off the device and the warp+crop runs as
+        one fused host call — per-frame latency is then solve + a ~4 KB
+        pull, not a frame-sized device->host transfer.
+        """
+        from meshflow_tpu.render import host as host_render
+
         h, w = frame.shape[:2]
         cfg = self.config
         device_frame = jnp.asarray(frame)
@@ -190,6 +263,23 @@ class OnlineMeshFlowStabilizer:
             self._shape = (h, w)
             return frame
         assert self._shape == (h, w), "frame size changed mid-stream"
+        if host_render.streaming_available():
+            self._state, c_t, p_t = online_motion_solve(
+                self._state,
+                device_frame,
+                self._key,
+                cfg,
+                h,
+                w,
+                self.adaptive_weights_definition,
+                self.crop_ratio,
+            )
+            du = np.asarray(c_t)[None]
+            ds = np.asarray(p_t)[None]
+            crop = online_crop_rect(w, h, self.crop_ratio)
+            return host_render.render_cropped_host(
+                frame[None], du, ds, crop, cfg
+            )[0]
         self._state, out = online_step(
             self._state,
             device_frame,

@@ -209,10 +209,21 @@ def stabilize_streamed(
         pair_velocity_scan_pallas if use_pallas_lk() else pair_velocity_scan
     )
 
+    # Keep decoded frames resident in HBM across passes when they fit, so
+    # the metric pass reads device memory instead of re-crossing the
+    # host->device link with the whole clip a second time.
+    frame_bytes = num_frames * h * w * 3
+    hbm_budget = int(
+        float(__import__("os").environ.get("MESHFLOW_HBM_FRAME_BUDGET_GB", 4))
+        * (1 << 30)
+    )
+    keep_frames = frame_bytes <= hbm_budget
+
     # ---- pass 1: windows of `chunk` frames, stride chunk-1 (1-frame halo)
     reader = ChunkReader(input_path)
     halo_np = None
     kps_parts = []  # device keypoint pytrees, one per window (new frames only)
+    frame_parts = []  # device frames (new frames only) when keep_frames
     vel_parts, homo_parts, ok_parts = [], [], []
     pair_base = 0
     key_motion = jax.random.fold_in(key, 1)
@@ -240,6 +251,8 @@ def stabilize_streamed(
         kps_parts.append(
             (jax.tree.map(lambda a: a[new0:n_win], kps_c), batch.shape[0])
         )
+        if keep_frames:
+            frame_parts.append(frames_c[new0:n_win])
         vel, homo, ok = scan_fn(
             kps_c, frames_c, key_motion,
             jnp.asarray(pair_base, jnp.int32), config, h, w,
@@ -286,31 +299,71 @@ def stabilize_streamed(
     crop_dev = jnp.asarray(crop, jnp.int32)
     acc.add("crop scan (host)", time.perf_counter() - t0)
 
-    # ---- pass 2: re-decode -> fused warp+crop -> encode + metrics
-    reader = ChunkReader(input_path)
+    # ---- pass 2: re-decode -> fused warp+crop -> encode + metrics.
+    # CPU work (decode/warp/encode) runs in a producer thread; the main
+    # thread drives uploads + the device metric tracker, so host warp of
+    # chunk k overlaps device metrics of chunk k-1.
+    frames_dev = (
+        jnp.concatenate(frame_parts, axis=0)
+        if keep_frames and frame_parts
+        else None
+    )
     writer = StreamWriter(output_path, w, h, info.fps, info.fourcc)
     key_metrics = jax.random.fold_in(key, 2)
     ratio_parts, dist_parts = [], []
-    start = 0
-    while True:
-        t0 = time.perf_counter()
-        batch = reader.read(chunk)
-        acc.add("decode", time.perf_counter() - t0)
-        n = batch.shape[0]
-        if n == 0:
-            break
-        t0 = time.perf_counter()
-        cropped_np = host_render.render_cropped_host(
-            batch, du_np[start : start + n], ds_np[start : start + n],
-            crop, config,
-        )
-        acc.add("warp+crop (host)", time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        writer.write(cropped_np)
-        acc.add("encode", time.perf_counter() - t0)
 
+    import queue as _queue
+    import threading
+
+    work: "_queue.Queue" = _queue.Queue(maxsize=2)
+    producer_error = []
+
+    def produce():
+        reader2 = ChunkReader(input_path)
+        start = 0
+        try:
+            while True:
+                t0 = time.perf_counter()
+                batch = reader2.read(chunk)
+                acc.add("decode", time.perf_counter() - t0)
+                n = batch.shape[0]
+                if n == 0:
+                    break
+                t0 = time.perf_counter()
+                cropped_np = host_render.render_cropped_host(
+                    batch,
+                    du_np[start : start + n],
+                    ds_np[start : start + n],
+                    crop,
+                    config,
+                )
+                acc.add("warp+crop (host)", time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                writer.write(cropped_np)
+                acc.add("encode", time.perf_counter() - t0)
+                work.put(
+                    (start, None if keep_frames else batch, cropped_np)
+                )
+                start += n
+        except BaseException as e:  # surfaced in the main thread
+            producer_error.append(e)
+        finally:
+            reader2.close()
+            work.put(None)
+
+    thread = threading.Thread(target=produce, daemon=True)
+    thread.start()
+    while True:
+        item = work.get()
+        if item is None:
+            break
+        start, batch, cropped_np = item
+        n = cropped_np.shape[0]
         t0 = time.perf_counter()
-        unstab_c = _pad_dev(jnp.asarray(batch), chunk)
+        if frames_dev is not None:
+            unstab_c = _pad_dev(frames_dev[start : start + n], chunk)
+        else:
+            unstab_c = _pad_dev(jnp.asarray(batch), chunk)
         cropped_c = _pad_dev(jnp.asarray(cropped_np), chunk)
         kps_c = jax.tree.map(
             lambda a: _pad_dev(
@@ -325,9 +378,10 @@ def stabilize_streamed(
         )
         ratio_parts.append(r[:n])
         dist_parts.append(d[:n])
-        start += n
         acc.add("metrics (dispatch)", time.perf_counter() - t0)
-    reader.close()
+    thread.join()
+    if producer_error:
+        raise producer_error[0]
     t0 = time.perf_counter()
     writer.close()
     acc.add("encode", time.perf_counter() - t0)

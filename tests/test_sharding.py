@@ -109,3 +109,38 @@ def test_halo_solver_matches_replicated(rng):
     np.testing.assert_array_equal(outs["halo"][0], outs["replicated"][0])
     np.testing.assert_array_equal(outs["halo"][1], outs["replicated"][1])
     assert outs["halo"][2:] == outs["replicated"][2:]
+
+
+@pytest.mark.slow
+def test_multi_clip_batch_matches_sequential(rng, tmp_path):
+    """Batched clips across 2 devices produce the same metrics and outputs
+    as solo runs (multi-clip batch parallelism, SURVEY §2.3 axis 6)."""
+    from meshflow_tpu.api import MeshFlowStabilizer
+    from meshflow_tpu.parallel.batch import BatchJob, stabilize_batch
+
+    clips = []
+    for i in range(2):
+        path = tmp_path / f"clip{i}.avi"
+        frames = _clip(rng, 12)
+        writer = cv2.VideoWriter(
+            str(path), cv2.VideoWriter_fourcc(*"MJPG"), 30.0, (128, 96)
+        )
+        for f in frames:
+            writer.write(f)
+        writer.release()
+        clips.append(path)
+
+    config = _small_config()
+    solo = []
+    for i, path in enumerate(clips):
+        m = MeshFlowStabilizer(config=config)
+        solo.append(m.stabilize(str(path), str(tmp_path / f"solo{i}.avi"), 0))
+
+    jobs = [
+        BatchJob(str(path), str(tmp_path / f"batch{i}.avi"))
+        for i, path in enumerate(clips)
+    ]
+    batched = stabilize_batch(
+        jobs, config=config, devices=jax.devices("cpu")[:2]
+    )
+    assert tuple(solo) == tuple(batched)
