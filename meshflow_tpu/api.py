@@ -70,6 +70,7 @@ class MeshFlowStabilizer:
         visualize=False,
         config: MeshFlowConfig | None = None,
         seed: int = 0,
+        checkpoint_dir: str | None = None,
     ):
         if config is None:
             config = MeshFlowConfig(
@@ -90,6 +91,16 @@ class MeshFlowStabilizer:
         self.config = config
         self.visualize = config.visualize
         self._key = jax.random.PRNGKey(seed)
+        # Checkpoint/resume (streaming path): persists pass-1 motion state
+        # so reruns — including other variants of the same clip — resume
+        # at the solver.  Constructor arg wins over the env var.
+        import os as _os
+
+        self.checkpoint_dir = (
+            checkpoint_dir
+            if checkpoint_dir is not None
+            else _os.environ.get("MESHFLOW_CHECKPOINT_DIR") or None
+        )
 
     # ------------------------------------------------------------------
     def stabilize(
@@ -131,6 +142,7 @@ class MeshFlowStabilizer:
                 self._key,
                 timer,
                 chunk=self.CHUNK,
+                checkpoint_dir=self.checkpoint_dir,
             )
             timer.report()
             return result

@@ -41,6 +41,7 @@ from meshflow_tpu.metrics.quality import (
     stability_score,
 )
 from meshflow_tpu.motion.pipeline import (
+    MotionEstimate,
     integrate_velocities,
     pair_velocity_scan,
     pair_velocity_scan_pallas,
@@ -194,16 +195,35 @@ def stabilize_streamed(
     key: jax.Array,
     timer,
     chunk: int = 64,
+    checkpoint_dir: str | None = None,
 ):
     """Streaming stabilize: returns (cropping_ratio, distortion, stability).
 
     Requires the native fused renderer (host_render.streaming_available()).
+
+    checkpoint_dir persists pass-1 motion state (checkpoint.py): a rerun
+    of the same clip/config — including under a different variant, which
+    only changes the solver — resumes at the solve.
     """
+    from meshflow_tpu import checkpoint as ckpt_mod
+    from meshflow_tpu.kernels.fast import Keypoints
+
     info = video_io.probe_video(input_path)
     h, w = info.height, info.width
     num_frames = info.num_frames
     chunk = min(chunk, max(num_frames, 2))
     acc = _Acc(timer)
+
+    ckpt_path = None
+    loaded = None
+    if checkpoint_dir:
+        seed_key = int(np.asarray(jax.random.key_data(key)).ravel()[-1])
+        ckpt_path = ckpt_mod.cache_path(
+            checkpoint_dir, input_path, config, seed_key
+        )
+        loaded = ckpt_mod.load_motion(ckpt_path)
+        if loaded is not None and loaded.displacements.shape[0] != num_frames:
+            loaded = None
 
     scan_fn = (
         pair_velocity_scan_pallas if use_pallas_lk() else pair_velocity_scan
@@ -217,7 +237,25 @@ def stabilize_streamed(
         float(__import__("os").environ.get("MESHFLOW_HBM_FRAME_BUDGET_GB", 4))
         * (1 << 30)
     )
-    keep_frames = frame_bytes <= hbm_budget
+    keep_frames = frame_bytes <= hbm_budget and loaded is None
+
+    if loaded is not None:
+        motion = MotionEstimate(
+            displacements=jnp.asarray(loaded.displacements),
+            homographies=jnp.asarray(loaded.homographies),
+            pair_ok=jnp.asarray(loaded.pair_ok),
+        )
+        keypoints = Keypoints(
+            positions=jnp.asarray(loaded.kp_positions),
+            scores=jnp.asarray(loaded.kp_scores),
+            valid=jnp.asarray(loaded.kp_valid),
+        )
+        frame_parts = []
+        return _solve_and_render(
+            input_path, output_path, adaptive_weights_definition, config,
+            key, timer, chunk, acc, info, motion, keypoints, frame_parts,
+            keep_frames,
+        )
 
     # ---- pass 1: windows of `chunk` frames, stride chunk-1 (1-frame halo)
     reader = ChunkReader(input_path)
@@ -277,6 +315,46 @@ def stabilize_streamed(
     )
     sync(motion.displacements)
     acc.add("motion (sync)", time.perf_counter() - t0)
+
+    if ckpt_path:
+        from meshflow_tpu import checkpoint as ckpt_mod
+
+        ckpt_mod.save_motion(
+            ckpt_path,
+            ckpt_mod.MotionCheckpoint(
+                displacements=np.asarray(motion.displacements),
+                homographies=np.asarray(motion.homographies),
+                pair_ok=np.asarray(motion.pair_ok),
+                kp_positions=np.asarray(keypoints.positions),
+                kp_scores=np.asarray(keypoints.scores),
+                kp_valid=np.asarray(keypoints.valid),
+            ),
+        )
+
+    return _solve_and_render(
+        input_path, output_path, adaptive_weights_definition, config,
+        key, timer, chunk, acc, info, motion, keypoints, frame_parts,
+        keep_frames,
+    )
+
+
+def _solve_and_render(
+    input_path,
+    output_path,
+    adaptive_weights_definition,
+    config,
+    key,
+    timer,
+    chunk,
+    acc,
+    info,
+    motion,
+    keypoints,
+    frame_parts,
+    keep_frames,
+):
+    """Solver + crop + pass 2 (shared by the fresh and resumed paths)."""
+    h, w = info.height, info.width
 
     # ---- solve
     t0 = time.perf_counter()

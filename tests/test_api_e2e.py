@@ -147,3 +147,57 @@ def test_streamed_matches_in_memory(tmp_path, rng, monkeypatch):
 
     assert results["0"] == results["1"]
     np.testing.assert_array_equal(outs["0"], outs["1"])
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_identical(tmp_path, rng, monkeypatch):
+    """A checkpointed rerun (same clip/config, any variant) resumes at the
+    solver and produces identical metrics + output to the fresh run."""
+    from meshflow_tpu.render import host as host_render
+
+    if not host_render.streaming_available():
+        pytest.skip("native streaming renderer not built")
+    from meshflow_tpu import MeshFlowConfig
+
+    clip = tmp_path / "in.avi"
+    _write_clip(clip, rng, num_frames=24, h=120, w=160)
+    monkeypatch.setenv("MESHFLOW_STREAM", "1")
+    ckpt_dir = tmp_path / "ckpt"
+    config = MeshFlowConfig(
+        max_features_per_subframe=64,
+        ransac_iterations=64,
+        lk_max_iterations=10,
+        optimization_num_iterations=20,
+    )
+
+    m = MeshFlowStabilizer(config=config, checkpoint_dir=str(ckpt_dir))
+    fresh = m.stabilize(str(clip), str(tmp_path / "out1.avi"), 0)
+    ckpts = list(ckpt_dir.glob("motion-*.npz"))
+    assert len(ckpts) == 1
+
+    # resumed run: sabotage pass 1 by making the scan unreachable
+    import meshflow_tpu.streaming as streaming_mod
+
+    def boom(*a, **k):
+        raise AssertionError("pass 1 ran despite checkpoint")
+
+    monkeypatch.setattr(streaming_mod, "pair_velocity_scan", boom)
+    monkeypatch.setattr(streaming_mod, "pair_velocity_scan_pallas", boom)
+    m2 = MeshFlowStabilizer(config=config, checkpoint_dir=str(ckpt_dir))
+    resumed = m2.stabilize(str(clip), str(tmp_path / "out2.avi"), 0)
+    assert fresh == resumed
+
+    # other variants reuse the same motion checkpoint
+    m3 = MeshFlowStabilizer(config=config, checkpoint_dir=str(ckpt_dir))
+    m3.stabilize(str(clip), str(tmp_path / "out3.avi"), 2)
+    assert len(list(ckpt_dir.glob("motion-*.npz"))) == 1
+
+    out1 = cv2.VideoCapture(str(tmp_path / "out1.avi"))
+    out2 = cv2.VideoCapture(str(tmp_path / "out2.avi"))
+    while True:
+        ok1, f1 = out1.read()
+        ok2, f2 = out2.read()
+        assert ok1 == ok2
+        if not ok1:
+            break
+        np.testing.assert_array_equal(f1, f2)
