@@ -7,13 +7,13 @@ writer; a short read raises IOError with the reference's message shape.
 
 The codec work is inherently host-bound (OpenCV's C++ videoio/ffmpeg
 backends); everything downstream of these functions lives on device.
-read_video can stream in chunks so decode overlaps device compute for long
-clips.
+Streaming decode/encode for the two-pass pipeline lives in streaming.py
+(ChunkReader / StreamWriter).
 """
 
 from __future__ import annotations
 
-from typing import Iterator, Tuple
+from typing import Tuple
 
 import cv2
 import numpy as np
@@ -108,28 +108,6 @@ def read_video(input_path: str) -> Tuple[np.ndarray, VideoInfo]:
         width=stacked.shape[2] if num_frames else 0,
     )
     return stacked, info
-
-
-def iter_video_chunks(
-    input_path: str, chunk_size: int
-) -> Iterator[np.ndarray]:
-    """Stream (chunk, H, W, 3) uint8 batches (last one may be short)."""
-    video = cv2.VideoCapture(input_path)
-    if not video.isOpened():
-        video.release()
-        raise IOError(f"Could not open video at <{input_path}>.")
-    buf = []
-    while True:
-        ok, frame = video.read()
-        if not ok:
-            break
-        buf.append(frame)
-        if len(buf) == chunk_size:
-            yield np.stack(buf)
-            buf = []
-    video.release()
-    if buf:
-        yield np.stack(buf)
 
 
 def write_video(

@@ -16,12 +16,6 @@ import os
 import time
 from typing import Dict, List, Optional
 
-try:
-    import tqdm as _tqdm
-except ImportError:  # pragma: no cover
-    _tqdm = None
-
-
 class StageTimer:
     """Collects per-stage wall times for one stabilize() run."""
 
@@ -47,12 +41,6 @@ class StageTimer:
         with trace_ctx:
             yield
         self.stages.append((name, time.perf_counter() - start))
-
-    def progress(self, iterable, desc: str):
-        """tqdm wrapper matching the reference's stage descriptions."""
-        if self.enabled and _tqdm is not None:
-            return _tqdm.tqdm(iterable, desc=desc)
-        return iterable
 
     def report(self) -> Dict[str, float]:
         table = {name: seconds for name, seconds in self.stages}
