@@ -2,10 +2,19 @@
 
 scripts/run_suite.py (run on TPU hardware) writes SUITE_RESULTS.json with
 our metrics vs the reference fixtures.  This test encodes the BASELINE.md
-gate: cropping ratio and stability score within +-1%.  Distortion is
-asserted loosely (+-8%): it is a min-statistic whose worst frames are fit
-through RNG-dependent junk subframes in both implementations (see README
-"Parity status").  Skips when no results file exists (fresh checkout).
+gate: cropping ratio and stability score within +-1%.
+
+Distortion is gated at +-8% because it is a MIN-statistic whose worst
+frame depends on the RANSAC draw, measured, not asserted:
+tests/fixtures/our_seed_variance.json records video-1/constant-high under
+five RANSAC seeds — distortion spans 0.539..0.579 (7.4% relative) while
+cropping ratio moves <1.7% and stability <0.05%; and
+tests/fixtures/reference_seed_variance.json records the reference's own
+spread under cv2.setRNGSeed (scripts/reference_variance.py).  Against
+that noise floor, sub-1% parity on distortion is not a meaningful target;
+the r2 suite run lands every config within +-1% on all three metrics
+except that one distortion (+2.4%).  Skips when no results file exists
+(fresh checkout).
 """
 
 import json
