@@ -42,6 +42,9 @@ def main():
         label = "1080p30 64x64 mesh stress"
 
     stabilizer = MeshFlowStabilizer(config=config)
+    # 9x the pixels of the demo clips: smaller frame chunks keep each
+    # device execution under the worker's kill threshold.
+    stabilizer.CHUNK = int(os.environ.get("MESHFLOW_1080P_CHUNK", "32"))
     out = "/tmp/bench-1080p.mp4"
     results = {}
     for run in ("cold", "warm"):

@@ -40,6 +40,19 @@ def main():
             results = json.load(f)
 
     stabilizer = MeshFlowStabilizer()
+
+    # Absorb the per-process device warmup (~3 min hidden in the first
+    # synced stage of any fresh process — see .claude/skills/verify) with a
+    # short untimed run so recorded per-config seconds measure the
+    # pipeline, not process bring-up.
+    warm_key = sorted(fixtures)[0]
+    warm_clip = warm_key.split("/")[0]
+    stabilizer.stabilize(
+        f"/root/reference/videos/{warm_clip}/{warm_clip}.m4v",
+        "/tmp/suite-warmup.m4v",
+        VARIANTS[warm_key.split("/")[1]],
+    )
+
     for key in sorted(fixtures):
         clip, variant = key.split("/")
         if only_clips and clip not in only_clips:
