@@ -589,6 +589,12 @@ def lk_level_pallas(
             pltpu.VMEM((c, block, pn, pn), jnp.float32),  # jpatch
             pltpu.VMEM((c, block * PR + 8, PR), jnp.float32),  # praw (+slack)
         ],
+        # The f32 plane pages scale with tile area: 640x360 tiles fit the
+        # default 16 MB scoped-vmem budget, 1080p tiles (326x536 padded)
+        # need ~21 MB.  v5e has 128 MB of VMEM; budget half of it.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )(prev_planes_u8, next_planes_u8, packed)
 

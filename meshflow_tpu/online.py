@@ -51,6 +51,12 @@ from meshflow_tpu.utils import grid
 from meshflow_tpu.utils.transfer import device_to_host_u8
 
 
+def _use_pallas() -> bool:
+    from meshflow_tpu.motion.pipeline import use_pallas_lk
+
+    return use_pallas_lk()
+
+
 class OnlineState(NamedTuple):
     prev_frame: jnp.ndarray  # (H, W, 3) uint8
     unstab_window: jnp.ndarray  # (OMEGA+1, R+1, C+1, 2) c_{t-OMEGA..t}
@@ -95,12 +101,46 @@ def online_motion_solve(
     gray_prev = bgr_to_gray(state.prev_frame)
     kps = detect_keypoints(gray_prev, config, frame_height, frame_width)
     max_level = config.lk_max_level(frame_height, frame_width)
-    prev_lv = tile_pyramid(state.prev_frame, config, max_level)
-    next_lv = tile_pyramid(frame, config, max_level)
-    match = match_pair(
-        kps, prev_lv, next_lv, jax.random.fold_in(key, state.step),
-        config, frame_height, frame_width,
-    )
+    if _use_pallas():
+        # TPU: one 2-frame batch through the Pallas tracker (the XLA
+        # selection-matmul path costs ~0.4 s/pair — it would dominate the
+        # per-frame latency budget).
+        from meshflow_tpu.kernels import lk_pallas
+        from meshflow_tpu.motion.features import match_from_tracks
+        from meshflow_tpu.motion.pipeline import frame_tiles_f32
+
+        offsets = jnp.asarray(
+            grid.subframe_offsets(config, frame_height, frame_width),
+            jnp.float32,
+        )
+        frames2 = jnp.stack([state.prev_frame, frame])
+        planes, dims = lk_pallas.pack_tile_planes(
+            frame_tiles_f32(frames2, config), max_level
+        )
+        local = kps.positions - offsets[:, None, :]
+        late_local, tracked = lk_pallas.lk_track_pairs_pallas(
+            planes,
+            dims,
+            jnp.stack([local, local]),
+            jnp.stack([kps.valid, kps.valid]),
+            max_iters=config.lk_max_iterations,
+            eps=config.lk_epsilon,
+            min_eig_threshold=config.lk_min_eig_threshold,
+        )
+        match = match_from_tracks(
+            kps.positions,
+            late_local[0] + offsets[:, None, :],
+            tracked[0],
+            jax.random.fold_in(key, state.step),
+            config,
+        )
+    else:
+        prev_lv = tile_pyramid(state.prev_frame, config, max_level)
+        next_lv = tile_pyramid(frame, config, max_level)
+        match = match_pair(
+            kps, prev_lv, next_lv, jax.random.fold_in(key, state.step),
+            config, frame_height, frame_width,
+        )
     velocity = vertex_velocities(
         match, unstab_grid, config, frame_height, frame_width
     )
@@ -274,8 +314,8 @@ class OnlineMeshFlowStabilizer:
                 self.adaptive_weights_definition,
                 self.crop_ratio,
             )
-            du = np.asarray(c_t)[None]
-            ds = np.asarray(p_t)[None]
+            both = np.asarray(jnp.stack([c_t, p_t]))  # one device pull
+            du, ds = both[0][None], both[1][None]
             crop = online_crop_rect(w, h, self.crop_ratio)
             return host_render.render_cropped_host(
                 frame[None], du, ds, crop, cfg

@@ -258,6 +258,8 @@ def stabilize_streamed(
         )
 
     # ---- pass 1: windows of `chunk` frames, stride chunk-1 (1-frame halo)
+    import collections
+
     reader = ChunkReader(input_path)
     halo_np = None
     kps_parts = []  # device keypoint pytrees, one per window (new frames only)
@@ -265,6 +267,10 @@ def stabilize_streamed(
     vel_parts, homo_parts, ok_parts = [], [], []
     pair_base = 0
     key_motion = jax.random.fold_in(key, 1)
+    # Bound async dispatch depth: each in-flight window pins its frames +
+    # pyramid planes in HBM (hundreds of MB at high resolutions), so only
+    # a couple of windows may be queued at once.
+    inflight: "collections.deque" = collections.deque()
     while True:
         t0 = time.perf_counter()
         want = chunk if halo_np is None else chunk - 1
@@ -301,6 +307,9 @@ def stabilize_streamed(
         homo_parts.append(homo[:real_pairs])
         ok_parts.append(ok[:real_pairs])
         pair_base += real_pairs
+        inflight.append(vel)
+        if len(inflight) > 2:
+            sync(inflight.popleft())
         acc.add("detect+motion (dispatch)", time.perf_counter() - t0)
     reader.close(check=True)
 
@@ -390,8 +399,11 @@ def _solve_and_render(
     key_metrics = jax.random.fold_in(key, 2)
     ratio_parts, dist_parts = [], []
 
+    import collections
     import queue as _queue
     import threading
+
+    inflight: "collections.deque" = collections.deque()
 
     work: "_queue.Queue" = _queue.Queue(maxsize=2)
     producer_error = []
@@ -456,6 +468,9 @@ def _solve_and_render(
         )
         ratio_parts.append(r[:n])
         dist_parts.append(d[:n])
+        inflight.append(r)
+        if len(inflight) > 2:
+            sync(inflight.popleft())
         acc.add("metrics (dispatch)", time.perf_counter() - t0)
     thread.join()
     if producer_error:
