@@ -27,7 +27,11 @@ from meshflow_tpu.metrics.quality import (
     cropping_and_distortion_scanned,
     stability_score,
 )
-from meshflow_tpu.motion.pipeline import estimate_motion_chunked, prepare_frames
+from meshflow_tpu.motion.pipeline import (
+    estimate_motion_chunked,
+    prepare_frames,
+    use_pallas_lk as _use_pallas_lk,
+)
 from meshflow_tpu.render.stabilize import crop_frames, render_stabilized
 from meshflow_tpu.solver.jacobi import jacobi_smooth
 from meshflow_tpu.solver.weights import adaptive_weights
@@ -114,6 +118,8 @@ class MeshFlowStabilizer:
         validate_adaptive_weights_definition(adaptive_weights_definition)
         config = self.config
         timer = StageTimer()
+        # Exposed for benchmarks: per-stage wall clock of the last run.
+        self.last_timer = timer
 
         # Streaming two-pass pipeline: O(chunk) pixel residency, decode
         # overlapped with device compute (SURVEY §7 host<->device
@@ -126,11 +132,28 @@ class MeshFlowStabilizer:
         from meshflow_tpu.render import host as _host_render
 
         stream_mode = _os.environ.get("MESHFLOW_STREAM", "auto")
-        use_stream = (
-            _host_render.streaming_available() and not self.visualize
-            if stream_mode == "auto"
-            else stream_mode == "1"
-        )
+        if stream_mode == "auto":
+            use_stream = (
+                _host_render.streaming_available() and not self.visualize
+            )
+        elif stream_mode == "1":
+            # Forced streaming still needs its preconditions: the fused
+            # native renderer, and no visualize (streaming never holds the
+            # whole clip the display loop needs).
+            if not _host_render.streaming_available():
+                raise RuntimeError(
+                    "MESHFLOW_STREAM=1 requires the native renderer "
+                    "(scripts/build_native.sh); it is not available."
+                )
+            if self.visualize:
+                raise RuntimeError(
+                    "MESHFLOW_STREAM=1 is incompatible with visualize=True "
+                    "(the streaming pipeline does not retain frames); "
+                    "unset one of them."
+                )
+            use_stream = True
+        else:
+            use_stream = False
         if use_stream:
             from meshflow_tpu import streaming
 
@@ -254,8 +277,19 @@ class MeshFlowStabilizer:
                     frames_np, du_np, ds_np, config
                 )
                 cropped_np = host_render.crop_frames_host(stabilized_np, crop_np)
-            with timer.stage("host->device (cropped)"):
-                cropped_dev = jnp.asarray(cropped_np)
+
+            # Metric-pass frame source.  "device" (default) re-derives the
+            # cropped frames on device from the already-resident unstab
+            # frames + displacement fields — the host-rendered twin differs
+            # by <=1 LSB on <0.5% of pixels (bilinear rounding,
+            # tests/test_host_render.py), while the upload of a full clip
+            # volume disappears.  "upload" ships the exact encoded pixels
+            # (r2 behavior).
+            metric_src = _os.environ.get("MESHFLOW_METRIC_SRC", "device")
+            crop_dev = jnp.asarray(crop_np, jnp.int32)
+            if metric_src != "device":
+                with timer.stage("host->device (cropped)"):
+                    cropped_dev = jnp.asarray(cropped_np)
 
             timer_metrics = timer.stage("metrics")
             timer_metrics.__enter__()
@@ -271,16 +305,31 @@ class MeshFlowStabilizer:
                 kps_c = jax.tree.map(
                     lambda a: pad_to(a[start:stop], chunk), keypoints
                 )
+                unstab_c = pad_to(frames[start:stop], chunk)
+                if metric_src == "device":
+                    stab_c, _ = render_stabilized(
+                        unstab_c,
+                        pad_to(motion.displacements[start:stop], chunk),
+                        pad_to(stab_disp[start:stop], chunk),
+                        unstab_grid,
+                        config,
+                        h,
+                        w,
+                    )
+                    cropped_c = crop_frames(stab_c, crop_dev, h, w)
+                else:
+                    cropped_c = pad_to(cropped_dev[start:stop], chunk)
                 r, d = cropping_and_distortion_scanned(
                     kps_c,
-                    pad_to(frames[start:stop], chunk),
-                    pad_to(cropped_dev[start:stop], chunk),
+                    unstab_c,
+                    cropped_c,
                     jax.random.fold_in(self._key, 2),
                     jnp.asarray(start, jnp.int32),
                     config,
                     h,
                     w,
-                    crop_rect=jnp.asarray(crop_np, jnp.int32),
+                    crop_rect=crop_dev,
+                    use_pallas=_use_pallas_lk(),
                 )
                 ratios.append(r[: stop - start])
                 distortions.append(d[: stop - start])
@@ -347,6 +396,7 @@ class MeshFlowStabilizer:
                 h,
                 w,
                 crop_rect=crop,
+                use_pallas=_use_pallas_lk(),
             )
             ratios.append(r[: stop - start])
             distortions.append(d[: stop - start])

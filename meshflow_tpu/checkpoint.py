@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import zipfile
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -41,9 +42,27 @@ class MotionCheckpoint(NamedTuple):
     kp_valid: np.ndarray  # (F, S, K) bool
 
 
+# Bump when the tracker kernels change numerically: the checkpoint caches
+# tracker outputs, so a stale kernel revision must miss, not silently hit.
+LK_KERNEL_REVISION = 2
+
+
 def _motion_config_key(config) -> str:
-    """The config fields pass 1 depends on (solver/render fields excluded)."""
+    """The config fields pass 1 depends on (solver/render fields excluded).
+
+    Includes the tracker identity: the Pallas and XLA trackers are not
+    bit-identical (chip parity gates ~0.1 px), so a checkpoint written
+    under one backend must not be reused under the other.
+    """
+    from meshflow_tpu.motion.pipeline import use_pallas_lk
+
+    tracker = (
+        f"pallas-r{LK_KERNEL_REVISION}"
+        if use_pallas_lk()
+        else f"xla-r{LK_KERNEL_REVISION}"
+    )
     fields = (
+        tracker,
         config.mesh_row_count,
         config.mesh_col_count,
         config.mesh_outlier_subframe_row_count,
@@ -96,5 +115,5 @@ def load_motion(path: str) -> Optional[MotionCheckpoint]:
             return MotionCheckpoint(
                 **{name: data[name] for name in MotionCheckpoint._fields}
             )
-    except (OSError, KeyError, ValueError):
+    except (OSError, KeyError, ValueError, zipfile.BadZipFile):
         return None  # corrupt/partial checkpoint: recompute

@@ -38,11 +38,57 @@ def build_parser() -> argparse.ArgumentParser:
         default="original",
         help="adaptive-weights definition (default: original)",
     )
+    # Constructor hyperparameters, 1:1 with the reference's __init__
+    # (/root/reference/meshflowstabilizer.py:43-99).
     p.add_argument("--mesh-rows", type=int, default=16)
     p.add_argument("--mesh-cols", type=int, default=16)
+    p.add_argument(
+        "--subframe-rows",
+        type=int,
+        default=4,
+        help="outlier-subframe row count (default: 4)",
+    )
+    p.add_argument(
+        "--subframe-cols",
+        type=int,
+        default=4,
+        help="outlier-subframe column count (default: 4)",
+    )
+    p.add_argument(
+        "--ellipse-rows",
+        type=int,
+        default=10,
+        help="feature-ellipse height in mesh-cell units (default: 10)",
+    )
+    p.add_argument(
+        "--ellipse-cols",
+        type=int,
+        default=10,
+        help="feature-ellipse width in mesh-cell units (default: 10)",
+    )
+    p.add_argument(
+        "--min-features",
+        type=int,
+        default=4,
+        help="minimum matched features for a pair homography (default: 4)",
+    )
     p.add_argument("--temporal-smoothing-radius", type=int, default=10)
     p.add_argument("--optimization-iterations", type=int, default=100)
+    p.add_argument(
+        "--border-bgr",
+        type=int,
+        nargs=3,
+        default=(0, 0, 255),
+        metavar=("B", "G", "R"),
+        help="color outside the warped image area (default: 0 0 255)",
+    )
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="persist pass-1 motion state here; reruns (any variant) "
+        "resume at the solver",
+    )
     p.add_argument("--visualize", action="store_true")
     p.add_argument(
         "--json", action="store_true", help="print metrics as one JSON line"
@@ -57,10 +103,17 @@ def main(argv=None) -> int:
     stabilizer = MeshFlowStabilizer(
         mesh_row_count=args.mesh_rows,
         mesh_col_count=args.mesh_cols,
+        mesh_outlier_subframe_row_count=args.subframe_rows,
+        mesh_outlier_subframe_col_count=args.subframe_cols,
+        feature_ellipse_row_count=args.ellipse_rows,
+        feature_ellipse_col_count=args.ellipse_cols,
+        homography_min_number_corresponding_features=args.min_features,
         temporal_smoothing_radius=args.temporal_smoothing_radius,
         optimization_num_iterations=args.optimization_iterations,
+        color_outside_image_area_bgr=tuple(args.border_bgr),
         visualize=args.visualize,
         seed=args.seed,
+        checkpoint_dir=args.checkpoint_dir,
     )
     t0 = time.perf_counter()
     cropping_ratio, distortion_score, stability_score = stabilizer.stabilize(

@@ -87,6 +87,7 @@ def _lk_level_kernel(
     is_level0: bool,
     nb: int,
     pn: int,
+    rounds: int,
 ):
     B = block
     C = num_ch
@@ -456,7 +457,7 @@ def _lk_level_kernel(
 
             corner_f, _, status_f, _ = jax.lax.fori_loop(
                 0,
-                ROUNDS,
+                rounds,
                 round_body,
                 (
                     guess0,
@@ -491,6 +492,7 @@ def _lk_level_kernel(
         "is_level0",
         "interpret",
         "pn",
+        "rounds",
     ),
 )
 def lk_level_pallas(
@@ -510,6 +512,7 @@ def lk_level_pallas(
     is_level0: bool = False,
     interpret: bool = False,
     pn: int = PN_LOWER,
+    rounds: int = ROUNDS,
 ):
     """Run one pyramid level for all frame pairs.
 
@@ -551,6 +554,7 @@ def lk_level_pallas(
         is_level0=is_level0,
         nb=nb,
         pn=pn,
+        rounds=rounds,
     )
 
     plane_spec_prev = pl.BlockSpec(
@@ -645,6 +649,9 @@ def lk_track_parallel_pallas(
     min_eig_threshold: float = 1e-4,
     interpret: bool = False,
     init_pts: jnp.ndarray | None = None,
+    pn_top: int = PN_TOP,
+    pn_lower: int = PN_LOWER,
+    rounds: int = ROUNDS,
 ):
     """Track pts of prev pyramid t into next pyramid t(+1 if shifted).
 
@@ -687,7 +694,8 @@ def lk_track_parallel_pallas(
             interpret=interpret,
             # top level: wide patches for large motions, smaller feature
             # blocks to stay inside VMEM; refinement levels: the reverse
-            pn=PN_TOP if level == max_level else PN_LOWER,
+            pn=pn_top if level == max_level else pn_lower,
+            rounds=rounds,
         )
         next_pts = corner + HALF
 

@@ -44,7 +44,8 @@ def stability_score(stab_disp: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "frame_height", "frame_width")
+    jax.jit,
+    static_argnames=("config", "frame_height", "frame_width", "use_pallas"),
 )
 def cropping_and_distortion_scanned(
     unstab_keypoints,
@@ -56,6 +57,7 @@ def cropping_and_distortion_scanned(
     frame_height: int,
     frame_width: int,
     crop_rect: jnp.ndarray | None = None,
+    use_pallas: bool | None = None,
 ):
     """Per-frame unstabilized->cropped homographies -> per-frame
     (ratios, distortions) arrays; the video-level mean/min reduction happens
@@ -78,7 +80,12 @@ def cropping_and_distortion_scanned(
     num_frames = unstab_keypoints.valid.shape[0]
     max_level = config.lk_max_level(frame_height, frame_width)
 
-    if use_pallas_lk():
+    # Tracker routing is a static jit argument so the compiled-function
+    # cache keys on it; the None default resolves the env knob once at
+    # trace time for callers that don't care (tests, notebooks).
+    if use_pallas is None:
+        use_pallas = use_pallas_lk()
+    if use_pallas:
         from meshflow_tpu.kernels import lk_pallas
         from meshflow_tpu.utils.grid import subframe_offsets
 

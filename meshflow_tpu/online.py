@@ -58,10 +58,46 @@ def _use_pallas() -> bool:
 
 
 class OnlineState(NamedTuple):
-    prev_frame: jnp.ndarray  # (H, W, 3) uint8
+    """Carried across steps.  prev_pyr/prev_kps cache the previous frame's
+    pyramid and keypoints: each step's detection + pyramid build serves the
+    NEXT step's tracking too, so steady-state device work is one frame's
+    preparation per frame, not two (the r2 implementation re-detected and
+    re-packed the previous frame every step)."""
+
+    prev_pyr: tuple  # backend-specific pyramid pytree of frame t-1
+    prev_kps: object  # Keypoints pytree of frame t-1
     unstab_window: jnp.ndarray  # (OMEGA+1, R+1, C+1, 2) c_{t-OMEGA..t}
     stab_window: jnp.ndarray  # (OMEGA+1, R+1, C+1, 2) p_{t-OMEGA..t}
     step: jnp.ndarray  # () int32 frames processed so far
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "frame_height", "frame_width")
+)
+def online_prepare(
+    frame: jnp.ndarray,
+    config: MeshFlowConfig,
+    frame_height: int,
+    frame_width: int,
+):
+    """Per-frame preparation: (H, W, 3) uint8 -> (keypoints, pyramid).
+
+    The pyramid pytree's layout depends on the tracker backend (Pallas:
+    packed uint8 tile planes; XLA: PaddedLevel tuples) — states are only
+    valid within one backend, which is fixed per process.
+    """
+    max_level = config.lk_max_level(frame_height, frame_width)
+    gray = bgr_to_gray(frame)
+    kps = detect_keypoints(gray, config, frame_height, frame_width)
+    if _use_pallas():
+        from meshflow_tpu.kernels import lk_pallas
+        from meshflow_tpu.motion.pipeline import frame_tiles_f32
+
+        planes, _ = lk_pallas.pack_tile_planes(
+            frame_tiles_f32(frame[None], config), max_level
+        )
+        return kps, planes
+    return kps, tile_pyramid(frame, config, max_level)
 
 
 @functools.partial(
@@ -98,31 +134,33 @@ def online_motion_solve(
     omega = config.temporal_smoothing_radius
     unstab_grid = jnp.asarray(grid.vertex_grid(config, frame_height, frame_width))
 
-    gray_prev = bgr_to_gray(state.prev_frame)
-    kps = detect_keypoints(gray_prev, config, frame_height, frame_width)
-    max_level = config.lk_max_level(frame_height, frame_width)
+    # Prepare the CURRENT frame once; tracking consumes the cached previous
+    # pyramid/keypoints, and the new ones ride along into the next state.
+    cur_kps, cur_pyr = online_prepare(frame, config, frame_height, frame_width)
+    kps = state.prev_kps
     if _use_pallas():
-        # TPU: one 2-frame batch through the Pallas tracker (the XLA
-        # selection-matmul path costs ~0.4 s/pair — it would dominate the
-        # per-frame latency budget).
+        # TPU: Pallas tracker over the cached prev planes -> current planes
+        # (the XLA selection-matmul path costs ~0.4 s/pair — it would
+        # dominate the per-frame latency budget).
         from meshflow_tpu.kernels import lk_pallas
+        from meshflow_tpu.kernels.pyramid import pyramid_shapes
         from meshflow_tpu.motion.features import match_from_tracks
-        from meshflow_tpu.motion.pipeline import frame_tiles_f32
 
+        max_level = config.lk_max_level(frame_height, frame_width)
+        tile_h, tile_w = config.subframe_shape(frame_height, frame_width)
+        dims = tuple(pyramid_shapes(tile_h, tile_w, max_level))
         offsets = jnp.asarray(
             grid.subframe_offsets(config, frame_height, frame_width),
             jnp.float32,
         )
-        frames2 = jnp.stack([state.prev_frame, frame])
-        planes, dims = lk_pallas.pack_tile_planes(
-            frame_tiles_f32(frames2, config), max_level
-        )
         local = kps.positions - offsets[:, None, :]
-        late_local, tracked = lk_pallas.lk_track_pairs_pallas(
-            planes,
+        late_local, tracked = lk_pallas.lk_track_parallel_pallas(
+            state.prev_pyr,
+            cur_pyr,
             dims,
-            jnp.stack([local, local]),
-            jnp.stack([kps.valid, kps.valid]),
+            local[None],
+            kps.valid[None],
+            shifted=False,
             max_iters=config.lk_max_iterations,
             eps=config.lk_epsilon,
             min_eig_threshold=config.lk_min_eig_threshold,
@@ -135,10 +173,8 @@ def online_motion_solve(
             config,
         )
     else:
-        prev_lv = tile_pyramid(state.prev_frame, config, max_level)
-        next_lv = tile_pyramid(frame, config, max_level)
         match = match_pair(
-            kps, prev_lv, next_lv, jax.random.fold_in(key, state.step),
+            kps, state.prev_pyr, cur_pyr, jax.random.fold_in(key, state.step),
             config, frame_height, frame_width,
         )
     velocity = vertex_velocities(
@@ -184,7 +220,8 @@ def online_motion_solve(
 
     stab_window = jnp.concatenate([state.stab_window[1:], p_t[None]], axis=0)
     new_state = OnlineState(
-        prev_frame=frame,
+        prev_pyr=cur_pyr,
+        prev_kps=cur_kps,
         unstab_window=unstab_window,
         stab_window=stab_window,
         step=state.step + 1,
@@ -294,8 +331,10 @@ class OnlineMeshFlowStabilizer:
             zeros = jnp.zeros(
                 (omega + 1, cfg.vertex_rows, cfg.vertex_cols, 2), jnp.float32
             )
+            kps0, pyr0 = online_prepare(device_frame, cfg, h, w)
             self._state = OnlineState(
-                prev_frame=device_frame,
+                prev_pyr=pyr0,
+                prev_kps=kps0,
                 unstab_window=zeros,
                 stab_window=zeros,
                 step=jnp.asarray(0, jnp.int32),

@@ -1,14 +1,31 @@
 """Host-side native render path (ctypes bindings for native/warp.cpp).
 
-Same algorithm and semantics as render.stabilize, executed as a
-multithreaded C++ kernel on the host.  Used when pulling rendered pixels
-off the device is more expensive than pulling the tiny displacement fields
-(see api.MeshFlowStabilizer render routing).
+Same algorithm and semantics as render.stabilize, executed on the host.
+Used when pulling rendered pixels off the device is more expensive than
+pulling the tiny displacement fields (see api.MeshFlowStabilizer render
+routing).
+
+Two remap backends (MESHFLOW_HOST_REMAP):
+
+* "cv2" (default): C++ rasterizes the per-pixel backward maps (mf_maps,
+  the only custom arithmetic), then cv2.remap / cv2.resize execute the
+  sampling — the exact ops the reference calls
+  (/root/reference/meshflowstabilizer.py:1063,1147), with OpenCV's
+  fixed-point SIMD inner loops.  Fastest, and byte-closest to the
+  reference's golden outputs.
+* "cpp": the self-contained C++ float sampling path (mf_render /
+  mf_render_cropped / mf_crop_resize); used automatically if cv2 is
+  unavailable.  Differs from cv2 by OpenCV's 1/32-px fixed-point
+  coordinate quantization.
+
+Either way the fused streaming call is byte-identical to running the two
+stages (full warp, then crop+stretch) separately.
 """
 
 from __future__ import annotations
 
 import ctypes
+import os
 from typing import Tuple
 
 import numpy as np
@@ -20,6 +37,20 @@ from meshflow_tpu.io.native import load_library
 def available() -> bool:
     lib = load_library()
     return lib is not None and hasattr(lib, "mf_render")
+
+
+def _use_cv2_remap() -> bool:
+    mode = os.environ.get("MESHFLOW_HOST_REMAP", "cv2")
+    if mode != "cv2":
+        return False
+    lib = load_library()
+    if lib is None or not hasattr(lib, "mf_maps"):
+        return False
+    try:
+        import cv2  # noqa: F401
+    except ImportError:
+        return False
+    return True
 
 
 def _bind(lib):
@@ -39,6 +70,14 @@ def _bind(lib):
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         u8p,
     ]
+    if hasattr(lib, "mf_maps"):
+        lib.mf_maps.argtypes = [
+            f32p, f32p,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            f32p,
+        ]
     if hasattr(lib, "mf_crop_edges"):
         lib.mf_crop_edges.argtypes = [
             f32p, f32p,
@@ -90,6 +129,53 @@ def crop_edges_host(
     )
 
 
+def _maps_host(
+    unstab_disp: np.ndarray,
+    stab_disp: np.ndarray,
+    frame_height: int,
+    frame_width: int,
+    config: MeshFlowConfig,
+    region=None,
+) -> np.ndarray:
+    """(F, 2, rh, rw) float32 backward maps [map_x, map_y] via mf_maps."""
+    lib = load_library()
+    _bind(lib)
+    du = np.ascontiguousarray(unstab_disp, np.float32)
+    ds = np.ascontiguousarray(stab_disp, np.float32)
+    f = du.shape[0]
+    if region is None:
+        region = (0, 0, frame_width - 1, frame_height - 1)
+    rx0, ry0, rx1, ry1 = (int(v) for v in region)
+    maps = np.empty((f, 2, ry1 - ry0 + 1, rx1 - rx0 + 1), np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.mf_maps(
+        du.ctypes.data_as(f32p),
+        ds.ctypes.data_as(f32p),
+        f, frame_height, frame_width,
+        config.mesh_row_count, config.mesh_col_count,
+        rx0, ry0, rx1, ry1,
+        maps.ctypes.data_as(f32p),
+    )
+    return maps
+
+
+def _edges_from_maps(map_x: np.ndarray, map_y: np.ndarray, h: int, w: int):
+    """Crop edges from one frame's maps — same rules as mf_render's scan
+    (reference :1075-1098): a stabilized column/row matches a source edge
+    when any map entry is within 1 px of it; defaults are the full frame."""
+    def extreme(match, axis, default, take_max):
+        idx = np.flatnonzero(match.any(axis=axis))
+        if idx.size == 0:
+            return default
+        return int(idx.max() if take_max else idx.min())
+
+    left = extreme(np.abs(map_x) < 1.0, 0, 0, True)
+    right = extreme(np.abs(map_x - (w - 1)) < 1.0, 0, w - 1, False)
+    top = extreme(np.abs(map_y) < 1.0, 1, 0, True)
+    bottom = extreme(np.abs(map_y - (h - 1)) < 1.0, 1, h - 1, False)
+    return left, top, right, bottom
+
+
 def render_cropped_host(
     frames: np.ndarray,
     unstab_disp: np.ndarray,
@@ -101,6 +187,25 @@ def render_cropped_host(
 
     Byte-identical to render_stabilized_host followed by crop_frames_host
     (stage-1 uint8 rounding preserved), at ~crop-area cost."""
+    if _use_cv2_remap():
+        import cv2
+
+        frames = np.ascontiguousarray(frames, np.uint8)
+        f, h, w = frames.shape[:3]
+        left, top, right, bottom = (int(v) for v in crop)
+        maps = _maps_host(
+            unstab_disp, stab_disp, h, w, config,
+            region=(left, top, right, bottom),
+        )
+        border = tuple(int(c) for c in config.color_outside_image_area_bgr)
+        out = np.empty_like(frames)
+        for i in range(f):
+            stab = cv2.remap(
+                frames[i], maps[i, 0], maps[i, 1], cv2.INTER_LINEAR,
+                borderMode=cv2.BORDER_CONSTANT, borderValue=border,
+            )
+            cv2.resize(stab, (w, h), dst=out[i], interpolation=cv2.INTER_LINEAR)
+        return out
     lib = load_library()
     _bind(lib)
     frames = np.ascontiguousarray(frames, np.uint8)
@@ -133,6 +238,32 @@ def render_stabilized_host(
     crop is [left, top, right, bottom] (the intersection over frames,
     /root/reference/meshflowstabilizer.py:1102-1106).
     """
+    if _use_cv2_remap():
+        import cv2
+
+        frames = np.ascontiguousarray(frames, np.uint8)
+        f, h, w = frames.shape[:3]
+        maps = _maps_host(unstab_disp, stab_disp, h, w, config)
+        border = tuple(int(c) for c in config.color_outside_image_area_bgr)
+        out = np.empty_like(frames)
+        edges = np.empty((f, 4), np.int32)
+        for i in range(f):
+            cv2.remap(
+                frames[i], maps[i, 0], maps[i, 1], cv2.INTER_LINEAR,
+                dst=out[i],
+                borderMode=cv2.BORDER_CONSTANT, borderValue=border,
+            )
+            edges[i] = _edges_from_maps(maps[i, 0], maps[i, 1], h, w)
+        crop = np.array(
+            [
+                edges[:, 0].max(),
+                edges[:, 1].max(),
+                edges[:, 2].min(),
+                edges[:, 3].min(),
+            ],
+            np.int32,
+        )
+        return out, crop
     lib = load_library()
     _bind(lib)
     frames = np.ascontiguousarray(frames, np.uint8)
@@ -163,6 +294,21 @@ def crop_frames_host(
     stabilized: np.ndarray, crop: np.ndarray
 ) -> np.ndarray:
     """Crop+stretch back to full resolution (cv2.resize semantics)."""
+    if _use_cv2_remap():
+        import cv2
+
+        stabilized = np.ascontiguousarray(stabilized, np.uint8)
+        f, h, w = stabilized.shape[:3]
+        left, top, right, bottom = (int(v) for v in crop)
+        out = np.empty_like(stabilized)
+        for i in range(f):
+            region = np.ascontiguousarray(
+                stabilized[i, top : bottom + 1, left : right + 1]
+            )
+            cv2.resize(
+                region, (w, h), dst=out[i], interpolation=cv2.INTER_LINEAR
+            )
+        return out
     lib = load_library()
     _bind(lib)
     stabilized = np.ascontiguousarray(stabilized, np.uint8)

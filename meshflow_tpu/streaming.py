@@ -225,8 +225,9 @@ def stabilize_streamed(
         if loaded is not None and loaded.displacements.shape[0] != num_frames:
             loaded = None
 
+    use_pallas = use_pallas_lk()
     scan_fn = (
-        pair_velocity_scan_pallas if use_pallas_lk() else pair_velocity_scan
+        pair_velocity_scan_pallas if use_pallas else pair_velocity_scan
     )
 
     # Keep decoded frames resident in HBM across passes when they fit, so
@@ -395,6 +396,24 @@ def _solve_and_render(
         if keep_frames and frame_parts
         else None
     )
+    # Metric-pass frame source (see api.py): "device" derives the cropped
+    # frames on device from the unstab frames + displacement fields (no
+    # cropped-clip upload; <=1 LSB from the encoded pixels), "upload"
+    # ships the host-rendered pixels (r2 behavior).
+    import os as _os
+
+    metric_src = _os.environ.get("MESHFLOW_METRIC_SRC", "device")
+    unstab_grid = None
+    if metric_src == "device":
+        from meshflow_tpu.render.stabilize import (
+            crop_frames as _crop_frames_dev,
+            render_stabilized as _render_stabilized_dev,
+        )
+        from meshflow_tpu.utils import grid as _grid
+
+        unstab_grid = jnp.asarray(_grid.vertex_grid(config, h, w))
+        stab_disp_dev = stab_disp
+        du_dev = motion.displacements
     writer = StreamWriter(output_path, w, h, info.fps, info.fourcc)
     key_metrics = jax.random.fold_in(key, 2)
     ratio_parts, dist_parts = [], []
@@ -407,12 +426,22 @@ def _solve_and_render(
 
     work: "_queue.Queue" = _queue.Queue(maxsize=2)
     producer_error = []
+    cancel = threading.Event()  # consumer died: unblock + stop the producer
+
+    def _put(item) -> bool:
+        while not cancel.is_set():
+            try:
+                work.put(item, timeout=0.25)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def produce():
         reader2 = ChunkReader(input_path)
         start = 0
         try:
-            while True:
+            while not cancel.is_set():
                 t0 = time.perf_counter()
                 batch = reader2.read(chunk)
                 acc.add("decode", time.perf_counter() - t0)
@@ -431,47 +460,81 @@ def _solve_and_render(
                 t0 = time.perf_counter()
                 writer.write(cropped_np)
                 acc.add("encode", time.perf_counter() - t0)
-                work.put(
-                    (start, None if keep_frames else batch, cropped_np)
-                )
+                if not _put(
+                    (
+                        start,
+                        None if keep_frames else batch,
+                        cropped_np if metric_src != "device" else None,
+                        n,
+                    )
+                ):
+                    return
                 start += n
         except BaseException as e:  # surfaced in the main thread
             producer_error.append(e)
         finally:
             reader2.close()
-            work.put(None)
+            _put(None)
 
     thread = threading.Thread(target=produce, daemon=True)
     thread.start()
-    while True:
-        item = work.get()
-        if item is None:
-            break
-        start, batch, cropped_np = item
-        n = cropped_np.shape[0]
-        t0 = time.perf_counter()
-        if frames_dev is not None:
-            unstab_c = _pad_dev(frames_dev[start : start + n], chunk)
-        else:
-            unstab_c = _pad_dev(jnp.asarray(batch), chunk)
-        cropped_c = _pad_dev(jnp.asarray(cropped_np), chunk)
-        kps_c = jax.tree.map(
-            lambda a: _pad_dev(
-                jax.lax.dynamic_slice_in_dim(a, start, n, axis=0), chunk
-            ),
-            keypoints,
-        )
-        r, d = cropping_and_distortion_scanned(
-            kps_c, unstab_c, cropped_c, key_metrics,
-            jnp.asarray(start, jnp.int32), config, h, w,
-            crop_rect=crop_dev,
-        )
-        ratio_parts.append(r[:n])
-        dist_parts.append(d[:n])
-        inflight.append(r)
-        if len(inflight) > 2:
-            sync(inflight.popleft())
-        acc.add("metrics (dispatch)", time.perf_counter() - t0)
+    try:
+        while True:
+            item = work.get()
+            if item is None:
+                break
+            start, batch, cropped_np, n = item
+            t0 = time.perf_counter()
+            if frames_dev is not None:
+                unstab_c = _pad_dev(frames_dev[start : start + n], chunk)
+            else:
+                unstab_c = _pad_dev(jnp.asarray(batch), chunk)
+            if metric_src == "device":
+                stab_c, _ = _render_stabilized_dev(
+                    unstab_c,
+                    _pad_dev(du_dev[start : start + n], chunk),
+                    _pad_dev(stab_disp_dev[start : start + n], chunk),
+                    unstab_grid,
+                    config,
+                    h,
+                    w,
+                )
+                cropped_c = _crop_frames_dev(stab_c, crop_dev, h, w)
+            else:
+                cropped_c = _pad_dev(jnp.asarray(cropped_np), chunk)
+            kps_c = jax.tree.map(
+                lambda a: _pad_dev(
+                    jax.lax.dynamic_slice_in_dim(a, start, n, axis=0), chunk
+                ),
+                keypoints,
+            )
+            r, d = cropping_and_distortion_scanned(
+                kps_c, unstab_c, cropped_c, key_metrics,
+                jnp.asarray(start, jnp.int32), config, h, w,
+                crop_rect=crop_dev,
+                use_pallas=use_pallas_lk(),
+            )
+            ratio_parts.append(r[:n])
+            dist_parts.append(d[:n])
+            inflight.append(r)
+            if len(inflight) > 2:
+                sync(inflight.popleft())
+            acc.add("metrics (dispatch)", time.perf_counter() - t0)
+    except BaseException:
+        # Unblock the producer (it may be waiting on the full queue),
+        # then release the encoder/reader before propagating.
+        cancel.set()
+        while True:
+            try:
+                work.get_nowait()
+            except _queue.Empty:
+                break
+        thread.join(timeout=10.0)
+        try:
+            writer.close()
+        except IOError:
+            pass  # the original error is the one to surface
+        raise
     thread.join()
     if producer_error:
         raise producer_error[0]

@@ -109,6 +109,10 @@ void parallel_for(long n, const std::function<void(long, long)>& fn) {
 
 // Fill one frame's backward maps (map_x/map_y/pri) from its displacement
 // fields, optionally restricted to the pixel region [ry0..ry1]x[rx0..rx1].
+// The per-cell inner loop walks each row with incrementally-updated
+// homogeneous numerators (3 adds + 2 divs per pixel instead of 6 muls);
+// the accumulated double rounding (~1e-12 over a row) is far below the
+// +-1 px membership slack.
 void rasterize_maps(
     const float* du, const float* ds, long height, long width,
     long mesh_rows, long mesh_cols, long rx0, long rx1, long ry0, long ry1,
@@ -172,20 +176,31 @@ void rasterize_maps(
             long y0 = std::max<long>(ry0, (long)std::floor(miny) - 2);
             long y1 = std::min<long>(ry1, (long)std::ceil(maxy) + 2);
             int32_t key = static_cast<int32_t>(r * mesh_cols + c);
+            // Cells are rasterized in increasing key order, so when a pixel
+            // is a member of this cell the store is unconditional (pri can
+            // only hold a smaller key) — that makes the loop if-convertible
+            // and the compiler vectorizes the fma/div/compare/masked-store
+            // body 8-wide.
+            const double h0 = h.m[0], h3 = h.m[3], h6 = h.m[6];
             for (long y = y0; y <= y1; ++y) {
+                const double cx_ = h.m[1] * y + h.m[2];
+                const double cy_ = h.m[4] * y + h.m[5];
+                const double cd_ = h.m[7] * y + h.m[8];
+                const long row_base = (y - ry0) * rw - rx0;
                 for (long x = x0; x <= x1; ++x) {
-                    double d = h.m[6] * x + h.m[7] * y + h.m[8];
-                    if (std::fabs(d) < 1e-12) continue;
-                    double qx = (h.m[0] * x + h.m[1] * y + h.m[2]) / d;
-                    double qy = (h.m[3] * x + h.m[4] * y + h.m[5]) / d;
-                    if (qx > left - 1.0 && qx < right + 1.0 &&
-                        qy > top - 1.0 && qy < bottom + 1.0) {
-                        long idx = (y - ry0) * rw + (x - rx0);
-                        if (key > pri[idx]) {
-                            pri[idx] = key;
-                            map_x[idx] = static_cast<float>(qx);
-                            map_y[idx] = static_cast<float>(qy);
-                        }
+                    const double fx = static_cast<double>(x);
+                    const double nd = h6 * fx + cd_;
+                    const double qx = (h0 * fx + cx_) / nd;
+                    const double qy = (h3 * fx + cy_) / nd;
+                    const bool member =
+                        std::fabs(nd) >= 1e-12 && qx > left - 1.0 &&
+                        qx < right + 1.0 && qy > top - 1.0 &&
+                        qy < bottom + 1.0;
+                    if (member) {
+                        const long idx = row_base + x;
+                        pri[idx] = key;
+                        map_x[idx] = static_cast<float>(qx);
+                        map_y[idx] = static_cast<float>(qy);
                     }
                 }
             }
@@ -194,28 +209,72 @@ void rasterize_maps(
 }
 
 // Bilinear remap of one pixel (constant border outside the source).
+// The four tap weights are computed once and shared across the three
+// channels; the common all-taps-inside case takes a branch-free path.
+// float accumulation differs from the former double path by ~1e-5, which
+// can flip nearbyint at exact .5 ties on ~1e-5 of pixels — well inside
+// the +-1 LSB parity gates vs the device renderer.
 inline void remap_px(
     const uint8_t* src, long height, long width, float mx, float my,
     const uint8_t* border, uint8_t* px) {
-    double fx0 = std::floor((double)mx), fy0 = std::floor((double)my);
-    double ax = mx - fx0, ay = my - fy0;
+    float fx0 = std::floor(mx), fy0 = std::floor(my);
+    float ax = mx - fx0, ay = my - fy0;
     long ix0 = (long)fx0, iy0 = (long)fy0;
-    for (int ch = 0; ch < 3; ++ch) {
-        double acc = 0;
-        for (int dy = 0; dy < 2; ++dy) {
-            for (int dx2 = 0; dx2 < 2; ++dx2) {
-                long tx = ix0 + dx2, ty = iy0 + dy;
-                double wgt = (dx2 ? ax : 1.0 - ax) * (dy ? ay : 1.0 - ay);
-                double v;
-                if (tx < 0 || tx >= width || ty < 0 || ty >= height)
-                    v = border[ch];
-                else
-                    v = src[(ty * width + tx) * 3 + ch];
-                acc += wgt * v;
-            }
+    float w00 = (1.0f - ax) * (1.0f - ay);
+    float w01 = ax * (1.0f - ay);
+    float w10 = (1.0f - ax) * ay;
+    float w11 = ax * ay;
+    if (ix0 >= 0 && iy0 >= 0 && ix0 + 1 < width && iy0 + 1 < height) {
+        const uint8_t* p0 = src + (iy0 * width + ix0) * 3;
+        const uint8_t* p1 = p0 + width * 3;
+        for (int ch = 0; ch < 3; ++ch) {
+            float v = w00 * p0[ch] + w01 * p0[3 + ch] + w10 * p1[ch] +
+                      w11 * p1[3 + ch];
+            float rounded = std::nearbyintf(v);
+            px[ch] = (uint8_t)std::min(255.0f, std::max(0.0f, rounded));
         }
-        double rounded = std::nearbyint(acc);
-        px[ch] = (uint8_t)std::min(255.0, std::max(0.0, rounded));
+        return;
+    }
+    bool in00x = ix0 >= 0 && ix0 < width, in01x = ix0 + 1 >= 0 && ix0 + 1 < width;
+    bool in0y = iy0 >= 0 && iy0 < height, in1y = iy0 + 1 >= 0 && iy0 + 1 < height;
+    const uint8_t* r0 = src + iy0 * width * 3;
+    const uint8_t* r1 = r0 + width * 3;
+    for (int ch = 0; ch < 3; ++ch) {
+        float v00 = (in00x && in0y) ? r0[ix0 * 3 + ch] : border[ch];
+        float v01 = (in01x && in0y) ? r0[(ix0 + 1) * 3 + ch] : border[ch];
+        float v10 = (in00x && in1y) ? r1[ix0 * 3 + ch] : border[ch];
+        float v11 = (in01x && in1y) ? r1[(ix0 + 1) * 3 + ch] : border[ch];
+        float v = w00 * v00 + w01 * v01 + w10 * v10 + w11 * v11;
+        float rounded = std::nearbyintf(v);
+        px[ch] = (uint8_t)std::min(255.0f, std::max(0.0f, rounded));
+    }
+}
+
+// One output row of the bilinear crop+stretch.  Shared by mf_render_cropped
+// and mf_crop_resize so the fused path stays byte-identical to running the
+// two stages separately.  x0/x1 are source column indices (into a row of
+// `stride` pixels), wx the x fractions; sy0/sy1/wy the two source rows and
+// y fraction.
+inline void stretch_row(
+    const uint8_t* src, long stride, const long* x0, const long* x1,
+    const float* wx, long sy0, long sy1, float wy, long width,
+    uint8_t* dst_row) {
+    const uint8_t* ra = src + sy0 * stride * 3;
+    const uint8_t* rb = src + sy1 * stride * 3;
+    const float by = wy, ay = 1.0f - wy;
+    for (long x = 0; x < width; ++x) {
+        const uint8_t* p00 = ra + x0[x] * 3;
+        const uint8_t* p01 = ra + x1[x] * 3;
+        const uint8_t* p10 = rb + x0[x] * 3;
+        const uint8_t* p11 = rb + x1[x] * 3;
+        const float bx = wx[x], ax = 1.0f - bx;
+        uint8_t* px = dst_row + x * 3;
+        for (int ch = 0; ch < 3; ++ch) {
+            float v = ay * (ax * p00[ch] + bx * p01[ch]) +
+                      by * (ax * p10[ch] + bx * p11[ch]);
+            float rounded = std::nearbyintf(v);
+            px[ch] = (uint8_t)std::min(255.0f, std::max(0.0f, rounded));
+        }
     }
 }
 
@@ -373,21 +432,22 @@ extern "C" void mf_render_cropped(
 
     // Stretch sampling tables: global arithmetic bit-identical to
     // mf_crop_resize (frac of v+left, not of v), indices region-local.
-    std::vector<long> xi(width), yi(height);
-    std::vector<double> xf(width), yf(height);
+    std::vector<long> xi(width), x1t(width), yi(height);
+    std::vector<float> xf(width), yf(height);
     for (long x = 0; x < width; ++x) {
         double v = (x + 0.5) * sx - 0.5;
         v = std::min(std::max(v, 0.0), crop_w - 1.0) + left;
         long g = (long)std::floor(v);
         xi[x] = g - left;
-        xf[x] = v - g;
+        x1t[x] = std::min<long>(xi[x] + 1, rw - 1);
+        xf[x] = (float)(v - g);
     }
     for (long y = 0; y < height; ++y) {
         double v = (y + 0.5) * sy - 0.5;
         v = std::min(std::max(v, 0.0), crop_h - 1.0) + top;
         long g = (long)std::floor(v);
         yi[y] = g - top;
-        yf[y] = v - g;
+        yf[y] = (float)(v - g);
     }
 
     parallel_for(num_frames, [&](long f0, long f1) {
@@ -422,25 +482,41 @@ extern "C" void mf_render_cropped(
             for (long y = 0; y < height; ++y) {
                 long y0 = yi[y];
                 long y1 = std::min<long>(y0 + 1, rh - 1);
-                double ay = yf[y];
-                for (long x = 0; x < width; ++x) {
-                    long x0 = xi[x];
-                    long x1 = std::min<long>(x0 + 1, rw - 1);
-                    double ax = xf[x];
-                    const uint8_t* p00 = stab.data() + (y0 * rw + x0) * 3;
-                    const uint8_t* p01 = stab.data() + (y0 * rw + x1) * 3;
-                    const uint8_t* p10 = stab.data() + (y1 * rw + x0) * 3;
-                    const uint8_t* p11 = stab.data() + (y1 * rw + x1) * 3;
-                    uint8_t* px = dst + (y * width + x) * 3;
-                    for (int ch = 0; ch < 3; ++ch) {
-                        double v = (1 - ay) * ((1 - ax) * p00[ch] +
-                                               ax * p01[ch]) +
-                                   ay * ((1 - ax) * p10[ch] + ax * p11[ch]);
-                        px[ch] = (uint8_t)std::min(
-                            255.0, std::max(0.0, std::nearbyint(v)));
-                    }
-                }
+                stretch_row(stab.data(), rw, xi.data(), x1t.data(),
+                            xf.data(), y0, y1, yf[y], width,
+                            dst + y * width * 3);
             }
+        }
+    });
+}
+
+// Backward maps for a chunk of frames over a pixel region, for callers
+// that run the remap itself (the host binding feeds these to cv2.remap —
+// the exact op the reference uses at meshflowstabilizer.py:1063 — whose
+// fixed-point SIMD inner loop is far faster than a portable scalar one).
+// Uncovered pixels keep the reference's sentinel (W+1, H+1), which remap
+// with BORDER_CONSTANT turns into border color.
+//
+// out_maps: (F, 2, ry1-ry0+1, rx1-rx0+1) float32 — [map_x, map_y] planes.
+extern "C" void mf_maps(
+    const float* unstab_disp, const float* stab_disp, long num_frames,
+    long height, long width, long mesh_rows, long mesh_cols,
+    int32_t rx0, int32_t ry0, int32_t rx1, int32_t ry1, float* out_maps) {
+    const long vr = mesh_rows + 1, vc = mesh_cols + 1;
+    const long cells = mesh_rows * mesh_cols;
+    const long rw = rx1 - rx0 + 1, rh = ry1 - ry0 + 1;
+
+    parallel_for(num_frames, [&](long f0, long f1) {
+        std::vector<int32_t> pri(rh * rw);
+        std::vector<H33> hinv(cells);
+        for (long f = f0; f < f1; ++f) {
+            const float* du = unstab_disp + f * vr * vc * 2;
+            const float* ds = stab_disp + f * vr * vc * 2;
+            float* map_x = out_maps + f * 2 * rh * rw;
+            float* map_y = map_x + rh * rw;
+            rasterize_maps(du, ds, height, width, mesh_rows, mesh_cols,
+                           rx0, rx1, ry0, ry1, hinv.data(), map_x, map_y,
+                           pri.data());
         }
     });
 }
@@ -456,22 +532,22 @@ extern "C" void mf_crop_resize(
     const double sx = crop_w / width;
     const double sy = crop_h / height;
 
-    std::vector<double> xs(width), ys(height);
-    std::vector<long> xi(width), yi(height);
-    std::vector<double> xf(width), yf(height);
+    std::vector<long> xi(width), x1t(width), yi(height);
+    std::vector<float> xf(width), yf(height);
     for (long x = 0; x < width; ++x) {
         double v = (x + 0.5) * sx - 0.5;
-        v = std::min(std::max(v, 0.0), crop_w - 1.0);
-        xs[x] = v + left;
-        xi[x] = (long)std::floor(xs[x]);
-        xf[x] = xs[x] - xi[x];
+        v = std::min(std::max(v, 0.0), crop_w - 1.0) + left;
+        long g = (long)std::floor(v);
+        xi[x] = g;
+        x1t[x] = std::min<long>(g + 1, width - 1);
+        xf[x] = (float)(v - g);
     }
     for (long y = 0; y < height; ++y) {
         double v = (y + 0.5) * sy - 0.5;
-        v = std::min(std::max(v, 0.0), crop_h - 1.0);
-        ys[y] = v + top;
-        yi[y] = (long)std::floor(ys[y]);
-        yf[y] = ys[y] - yi[y];
+        v = std::min(std::max(v, 0.0), crop_h - 1.0) + top;
+        long g = (long)std::floor(v);
+        yi[y] = g;
+        yf[y] = (float)(v - g);
     }
 
     parallel_for(num_frames, [&](long f0, long f1) {
@@ -481,24 +557,8 @@ extern "C" void mf_crop_resize(
             for (long y = 0; y < height; ++y) {
                 long y0 = yi[y];
                 long y1 = std::min<long>(y0 + 1, height - 1);
-                double ay = yf[y];
-                for (long x = 0; x < width; ++x) {
-                    long x0 = xi[x];
-                    long x1 = std::min<long>(x0 + 1, width - 1);
-                    double ax = xf[x];
-                    const uint8_t* p00 = src + (y0 * width + x0) * 3;
-                    const uint8_t* p01 = src + (y0 * width + x1) * 3;
-                    const uint8_t* p10 = src + (y1 * width + x0) * 3;
-                    const uint8_t* p11 = src + (y1 * width + x1) * 3;
-                    uint8_t* px = dst + (y * width + x) * 3;
-                    for (int ch = 0; ch < 3; ++ch) {
-                        double v = (1 - ay) * ((1 - ax) * p00[ch] +
-                                               ax * p01[ch]) +
-                                   ay * ((1 - ax) * p10[ch] + ax * p11[ch]);
-                        px[ch] = (uint8_t)std::min(
-                            255.0, std::max(0.0, std::nearbyint(v)));
-                    }
-                }
+                stretch_row(src, width, xi.data(), x1t.data(), xf.data(),
+                            y0, y1, yf[y], width, dst + y * width * 3);
             }
         }
     });
