@@ -13,9 +13,15 @@ Here each (tile, feature-block) grid program keeps everything in VMEM:
   image/gradient windows and the frozen 2x2 gradient matrix,
 * per-feature 40x40 next-image patches, re-fetched in up to 4 rounds
   when an iterate wanders past the +-8 px patch margin,
-* the 30-iteration solver loop as two exact-bf16 one-hot MXU
-  contractions (integer row/column window selection) plus f32 VPU
-  bilinear combines per iteration.
+* the 30-iteration solver loop as exact-bf16 one-hot MXU contractions
+  (integer row/column window selection) plus f32 VPU bilinear combines
+  per iteration.  The iteration loop is CHANNEL-FUSED: next-image
+  patches live channel-minor ((B, pn, C*pn)), so row selection is one
+  (C*pn)-lane matmul, the bilinear combine / residual / gradient
+  products run once on (B*PR, C*PR) instead of C times on 24 of 128
+  lanes, and the b-vector segment sums collapse to two dots per
+  iteration regardless of C (measured ~1.9x on the convergence-bound
+  metric pass).
 
 This Mosaic toolchain imposes hard constraints the layout honors:
 dynamic vector loads must be 8/128-aligned (so all window selection is
@@ -73,6 +79,7 @@ def _lk_level_kernel(
     nimg_s,
     win_s,
     jpatch_s,
+    jint3_s,
     praw_s,
     *,
     block: int,
@@ -203,8 +210,11 @@ def _lk_level_kernel(
 
             Rp, C2p = onehots(oy0, ox0, PR)
 
-            def prev_body(c, carry):
-                a11_c, a12_c, a22_c = carry
+            # Unrolled over channels (static lane offsets: dynamic lane
+            # slices do not lower on this Mosaic).  Windows land
+            # channel-minor in win_s: [iw_all | gx_all | gy_all], each
+            # (B*PR, C*PR), so the iteration loop reads them fused.
+            def prev_channel(c):
                 praw_s[c, 0:n, :] = extract_c(pimg_s, Rp, C2p, c, PR).reshape(
                     n, PR
                 )
@@ -239,9 +249,9 @@ def _lk_level_kernel(
                 iw = window(p_ext[1 : 1 + n, :], p_ext[2 : 2 + n, :]) * wmask
                 gxw = window(gxv, gxh) * wmask
                 gyw = window(gyv, gyh) * wmask
-                win_s[c, :, 0:PR] = iw
-                win_s[c, :, PR : 2 * PR] = gxw
-                win_s[c, :, 2 * PR : 3 * PR] = gyw
+                win_s[:, c * PR : (c + 1) * PR] = iw
+                win_s[:, (C + c) * PR : (C + c + 1) * PR] = gxw
+                win_s[:, (2 * C + c) * PR : (2 * C + c + 1) * PR] = gyw
 
                 def segsum(x_flat):
                     return jnp.dot(
@@ -251,9 +261,9 @@ def _lk_level_kernel(
                     )
 
                 return (
-                    a11_c + segsum(gxw * gxw),
-                    a12_c + segsum(gxw * gyw),
-                    a22_c + segsum(gyw * gyw),
+                    segsum(gxw * gxw),
+                    segsum(gxw * gyw),
+                    segsum(gyw * gyw),
                 )
 
             # segment-sum matrix: (B, B*PR) ones over each feature's rows
@@ -261,10 +271,17 @@ def _lk_level_kernel(
                 jnp.float32
             )
 
+            # channel-fused window mask: (B*PR, C*PR), PR-periodic in lanes
+            wmask3 = (
+                (_iota((B * PR, C * PR), 0) % PR < WIN)
+                & (_iota((B * PR, C * PR), 1) % PR < WIN)
+            ).astype(jnp.float32)
+
             zero_b1 = jnp.zeros((B, 1), jnp.float32)
-            a11, a12, a22 = jax.lax.fori_loop(
-                0, C, prev_body, (zero_b1, zero_b1, zero_b1)
-            )
+            a11, a12, a22 = zero_b1, zero_b1, zero_b1
+            for c in range(C):
+                d11, d12, d22 = prev_channel(c)
+                a11, a12, a22 = a11 + d11, a12 + d12, a22 + d22
 
             a11c = a11 * CV_SCALE
             a12c = a12 * CV_SCALE
@@ -298,12 +315,11 @@ def _lk_level_kernel(
                 @pl.when(jnp.any(need))
                 def _fetch():
                     Rn, C2n = onehots(py0, px0, pn)
-
-                    def fetch_body(c, _):
-                        jpatch_s[c] = extract_c(nimg_s, Rn, C2n, c, pn)
-                        return 0
-
-                    jax.lax.fori_loop(0, C, fetch_body, 0)
+                    for c in range(C):
+                        # channel-minor: (B, pn, C*pn)
+                        jpatch_s[:, :, c * pn : (c + 1) * pn] = extract_c(
+                            nimg_s, Rn, C2n, c, pn
+                        )
 
                 def iter_cond(state):
                     j, corner, active_i, prev_delta, st_ci, done_i, used_c = state
@@ -354,55 +370,59 @@ def _lk_level_kernel(
                     ffa_e = _expand(ffa, PR)
                     ffb_e = _expand(ffb, PR)
 
-                    def chan_body(c, carry_b):
-                        b1_c, b2_c = carry_b
-                        # pure 0/1 selectors x integer image values:
-                        # exact in single-pass bf16
-                        jrows = jax.lax.dot_general(
-                            rsel,
-                            jpatch_s[c],
-                            (((2,), (1,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.DEFAULT,
-                        )  # (B, PR, PN) integer rows
-                        jint = jax.lax.dot_general(
-                            jrows,
+                    # Channel-fused: one (C*pn)-lane row-selection matmul,
+                    # then per-channel column selection into the
+                    # channel-minor jint3 scratch; everything after runs
+                    # once over C*PR lanes.  Pure 0/1 selectors x integer
+                    # image values: exact in single-pass bf16.
+                    jrows3 = jax.lax.dot_general(
+                        rsel,
+                        jpatch_s[...],
+                        (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT,
+                    )  # (B, PR, C*pn) integer rows
+                    for c in range(C):
+                        jint_c = jax.lax.dot_general(
+                            jrows3[:, :, c * pn : (c + 1) * pn],
                             csel,
                             (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.DEFAULT,
-                        ).reshape(B * PR, PR)  # integer window grid
-                        # bilinear combine: window texel (r, cc) mixes grid
-                        # (r..r+1, cc..cc+1); roll wrap stays outside the mask.
-                        row = (1.0 - ffb_e) * jint + ffb_e * pltpu.roll(
-                            jint, B * PR - 1, axis=0
+                        )  # (B, PR, PR) integer window grid
+                        jint3_s[:, c * PR : (c + 1) * PR] = jint_c.reshape(
+                            B * PR, PR
                         )
-                        jwin = (
-                            (1.0 - ffa_e) * row
-                            + ffa_e * pltpu.roll(row, PR - 1, axis=1)
-                        ) * wmask
-                        wc = win_s[c]
-                        diff = jwin - wc[:, 0:PR]
-                        b1_n = b1_c + jnp.dot(
-                            seg,
-                            jnp.sum(
-                                diff * wc[:, PR : 2 * PR], axis=1, keepdims=True
-                            ),
-                            preferred_element_type=jnp.float32,
-                        )
-                        b2_n = b2_c + jnp.dot(
-                            seg,
-                            jnp.sum(
-                                diff * wc[:, 2 * PR : 3 * PR],
-                                axis=1,
-                                keepdims=True,
-                            ),
-                            preferred_element_type=jnp.float32,
-                        )
-                        return (b1_n, b2_n)
-
-                    b1, b2 = jax.lax.fori_loop(
-                        0, C, chan_body, (zero_b1, zero_b1)
+                    jint3 = jint3_s[...]
+                    # bilinear combine: window texel (r, cc) mixes grid
+                    # (r..r+1, cc..cc+1); the lane roll wraps across
+                    # channel block edges only at texel columns >= WIN,
+                    # which wmask3 zeroes.
+                    row3 = (1.0 - ffb_e) * jint3 + ffb_e * pltpu.roll(
+                        jint3, B * PR - 1, axis=0
+                    )
+                    jwin3 = (
+                        (1.0 - ffa_e) * row3
+                        + ffa_e * pltpu.roll(row3, C * PR - 1, axis=1)
+                    ) * wmask3
+                    diff3 = jwin3 - win_s[:, 0 : C * PR]
+                    b1 = jnp.dot(
+                        seg,
+                        jnp.sum(
+                            diff3 * win_s[:, C * PR : 2 * C * PR],
+                            axis=1,
+                            keepdims=True,
+                        ),
+                        preferred_element_type=jnp.float32,
+                    )
+                    b2 = jnp.dot(
+                        seg,
+                        jnp.sum(
+                            diff3 * win_s[:, 2 * C * PR : 3 * C * PR],
+                            axis=1,
+                            keepdims=True,
+                        ),
+                        preferred_element_type=jnp.float32,
                     )
                     b1 = b1 * CV_SCALE
                     b2 = b2 * CV_SCALE
@@ -589,8 +609,10 @@ def lk_level_pallas(
         scratch_shapes=[
             pltpu.VMEM((c, hpad, wpad), jnp.float32),  # pimg
             pltpu.VMEM((c, hpad, wpad), jnp.float32),  # nimg
-            pltpu.VMEM((c, block * PR, 3 * PR), jnp.float32),  # iwin|gxw|gyw
-            pltpu.VMEM((c, block, pn, pn), jnp.float32),  # jpatch
+            # [iw_all | gx_all | gy_all], each channel-minor (B*PR, c*PR)
+            pltpu.VMEM((block * PR, 3 * c * PR), jnp.float32),
+            pltpu.VMEM((block, pn, c * pn), jnp.float32),  # jpatch (ch-minor)
+            pltpu.VMEM((block * PR, c * PR), jnp.float32),  # jint3
             pltpu.VMEM((c, block * PR + 8, PR), jnp.float32),  # praw (+slack)
         ],
         # The f32 plane pages scale with tile area: 640x360 tiles fit the

