@@ -171,6 +171,27 @@ def _pad_dev(a: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.pad(a, padding, mode="edge")
 
 
+def resident_end(parts) -> int:
+    """Frames [0, end) covered by a contiguous (start, array) part list."""
+    if not parts:
+        return 0
+    start, arr = parts[-1]
+    return start + arr.shape[0]
+
+
+def resident_slice(parts, start: int, n: int) -> jnp.ndarray:
+    """Gather frames [start, start+n) from a contiguous device part list
+    without ever concatenating the full clip (which would double peak
+    HBM); at most two parts overlap a chunk-sized request."""
+    out = []
+    for p0, arr in parts:
+        p1 = p0 + arr.shape[0]
+        if p1 <= start or p0 >= start + n:
+            continue
+        out.append(arr[max(start, p0) - p0 : min(start + n, p1) - p0])
+    return out[0] if len(out) == 1 else jnp.concatenate(out, axis=0)
+
+
 class _Acc:
     """Accumulating wall-clock buckets reported as pipeline stages."""
 
@@ -230,15 +251,18 @@ def stabilize_streamed(
         pair_velocity_scan_pallas if use_pallas else pair_velocity_scan
     )
 
-    # Keep decoded frames resident in HBM across passes when they fit, so
-    # the metric pass reads device memory instead of re-crossing the
-    # host->device link with the whole clip a second time.
-    frame_bytes = num_frames * h * w * 3
+    # Keep decoded frames resident in HBM across passes (up to a budget),
+    # so the metric pass reads device memory instead of re-crossing the
+    # host->device link with the whole clip a second time.  Residency is
+    # a prefix of the clip: frames past the budget are re-uploaded in
+    # pass 2 (graceful degradation on long/high-res clips instead of an
+    # all-or-nothing switch; the budget leaves headroom for the passes'
+    # working sets on a shared chip).
     hbm_budget = int(
         float(__import__("os").environ.get("MESHFLOW_HBM_FRAME_BUDGET_GB", 4))
         * (1 << 30)
     )
-    keep_frames = frame_bytes <= hbm_budget and loaded is None
+    keep_frames = hbm_budget > 0 and loaded is None
 
     if loaded is not None:
         motion = MotionEstimate(
@@ -264,13 +288,19 @@ def stabilize_streamed(
     reader = ChunkReader(input_path)
     halo_np = None
     kps_parts = []  # device keypoint pytrees, one per window (new frames only)
-    frame_parts = []  # device frames (new frames only) when keep_frames
+    frame_parts = []  # (global_start, device frames) prefix kept in HBM
+    kept_bytes = 0
+    next_keep = 0  # parts are contiguous from frame 0
     vel_parts, homo_parts, ok_parts = [], [], []
     pair_base = 0
     key_motion = jax.random.fold_in(key, 1)
     # Bound async dispatch depth: each in-flight window pins its frames +
     # pyramid planes in HBM (hundreds of MB at high resolutions), so only
-    # a couple of windows may be queued at once.
+    # a couple of windows may be queued at once.  MESHFLOW_INFLIGHT=1
+    # halves the planes working set for memory-tight high-res runs.
+    max_inflight = int(
+        __import__("os").environ.get("MESHFLOW_INFLIGHT", "2")
+    )
     inflight: "collections.deque" = collections.deque()
     while True:
         t0 = time.perf_counter()
@@ -296,8 +326,11 @@ def stabilize_streamed(
         kps_parts.append(
             (jax.tree.map(lambda a: a[new0:n_win], kps_c), batch.shape[0])
         )
-        if keep_frames:
-            frame_parts.append(frames_c[new0:n_win])
+        if keep_frames and kept_bytes < hbm_budget:
+            part = frames_c[new0:n_win]
+            frame_parts.append((next_keep, part))
+            kept_bytes += part.size
+            next_keep += part.shape[0]
         vel, homo, ok = scan_fn(
             kps_c, frames_c, key_motion,
             jnp.asarray(pair_base, jnp.int32), config, h, w,
@@ -309,7 +342,7 @@ def stabilize_streamed(
         ok_parts.append(ok[:real_pairs])
         pair_base += real_pairs
         inflight.append(vel)
-        if len(inflight) > 2:
+        if len(inflight) > max_inflight:
             sync(inflight.popleft())
         acc.add("detect+motion (dispatch)", time.perf_counter() - t0)
     reader.close(check=True)
@@ -391,11 +424,7 @@ def _solve_and_render(
     # CPU work (decode/warp/encode) runs in a producer thread; the main
     # thread drives uploads + the device metric tracker, so host warp of
     # chunk k overlaps device metrics of chunk k-1.
-    frames_dev = (
-        jnp.concatenate(frame_parts, axis=0)
-        if keep_frames and frame_parts
-        else None
-    )
+    res_end = resident_end(frame_parts) if keep_frames else 0
     # Metric-pass frame source (see api.py): "device" derives the cropped
     # frames on device from the unstab frames + displacement fields (no
     # cropped-clip upload; <=1 LSB from the encoded pixels), "upload"
@@ -463,7 +492,7 @@ def _solve_and_render(
                 if not _put(
                     (
                         start,
-                        None if keep_frames else batch,
+                        None if start + n <= res_end else batch,
                         cropped_np if metric_src != "device" else None,
                         n,
                     )
@@ -485,8 +514,10 @@ def _solve_and_render(
                 break
             start, batch, cropped_np, n = item
             t0 = time.perf_counter()
-            if frames_dev is not None:
-                unstab_c = _pad_dev(frames_dev[start : start + n], chunk)
+            if batch is None:
+                unstab_c = _pad_dev(
+                    resident_slice(frame_parts, start, n), chunk
+                )
             else:
                 unstab_c = _pad_dev(jnp.asarray(batch), chunk)
             if metric_src == "device":

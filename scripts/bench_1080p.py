@@ -30,16 +30,114 @@ CLIP = os.path.join(
 )
 
 
-def device_only_pass(stabilizer, frames_dev, h, w):
-    """Time _stabilize_frames with frames already resident (device render +
-    device metrics; the only pulls are scalar syncs)."""
-    os.environ["MESHFLOW_RENDER"] = "device"
-    try:
-        t0 = time.perf_counter()
-        _, cr, ds, ss = stabilizer._stabilize_frames(frames_dev, 0, h, w)
-        dt = time.perf_counter() - t0
-    finally:
-        os.environ.pop("MESHFLOW_RENDER", None)
+def device_only_pass(parts, num_frames, h, w, config, chunk):
+    """Full compute pipeline with frames already resident, O(chunk) HBM
+    for pixels beyond the input: windowed motion (mirrors streaming
+    pass 1) -> solve -> per-chunk device render + crop/stretch + metric
+    tracking (mirrors pass 2; chunks discarded as consumed).  `parts` is
+    the contiguous (start, device array) list from the untimed upload —
+    never concatenated whole, which would double peak HBM.  The only
+    pulls are scalar syncs and the displacement fields for the crop scan.
+    """
+    import jax
+    import numpy as np
+    from meshflow_tpu.metrics.quality import (
+        cropping_and_distortion_scanned,
+        stability_score,
+    )
+    from meshflow_tpu.motion.pipeline import (
+        integrate_velocities,
+        pair_velocity_scan,
+        pair_velocity_scan_pallas,
+        prepare_frames,
+        use_pallas_lk,
+    )
+    from meshflow_tpu.render import host as host_render
+    from meshflow_tpu.render.stabilize import crop_frames, render_stabilized
+    from meshflow_tpu.solver.jacobi import jacobi_smooth
+    from meshflow_tpu.solver.weights import adaptive_weights
+    from meshflow_tpu.streaming import resident_slice
+    from meshflow_tpu.utils import grid
+    from meshflow_tpu.utils.transfer import sync
+    import jax.numpy as jnp
+
+    unstab_grid = jnp.asarray(grid.vertex_grid(config, h, w))
+    key = jax.random.PRNGKey(0)
+    scan_fn = (
+        pair_velocity_scan_pallas if use_pallas_lk() else pair_velocity_scan
+    )
+
+    def pad_to(a, n):
+        padding = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, padding, mode="edge")
+
+    t0 = time.perf_counter()
+    # ---- motion over chunk-frame windows with a 1-frame halo
+    kps_parts, vel_parts, homo_parts, ok_parts = [], [], [], []
+    pair_base = 0
+    while pair_base < num_frames - 1:
+        n_win = min(chunk, num_frames - pair_base)
+        frames_c = pad_to(resident_slice(parts, pair_base, n_win), chunk)
+        kps_c, _ = prepare_frames(frames_c, config)
+        new0 = 0 if pair_base == 0 else 1
+        kps_parts.append(jax.tree.map(lambda a: a[new0:n_win], kps_c))
+        vel, homo, ok = scan_fn(
+            kps_c, frames_c, jax.random.fold_in(key, 1),
+            jnp.asarray(pair_base, jnp.int32), config, h, w,
+        )
+        real_pairs = min(chunk - 1, n_win - 1)
+        vel_parts.append(vel[:real_pairs])
+        homo_parts.append(homo[:real_pairs])
+        ok_parts.append(ok[:real_pairs])
+        pair_base += real_pairs
+    motion = integrate_velocities(
+        jnp.concatenate(vel_parts, axis=0),
+        jnp.concatenate(homo_parts, axis=0),
+        jnp.concatenate(ok_parts, axis=0),
+    )
+    keypoints = jax.tree.map(
+        lambda *p: jnp.concatenate(p, axis=0), *kps_parts
+    )
+    lambdas = adaptive_weights(motion.homographies, w, h, 0)
+    stab_disp = jacobi_smooth(
+        motion.displacements, lambdas,
+        config.temporal_smoothing_radius,
+        config.optimization_num_iterations,
+    )
+    crop = jnp.asarray(
+        host_render.crop_edges_host(
+            np.asarray(motion.displacements), np.asarray(stab_disp), h, w,
+            config,
+        ),
+        jnp.int32,
+    )
+
+    ratios, dists = [], []
+    for start in range(0, num_frames, chunk):
+        stop = min(start + chunk, num_frames)
+        fr = pad_to(resident_slice(parts, start, stop - start), chunk)
+        stab_c, _ = render_stabilized(
+            fr,
+            pad_to(motion.displacements[start:stop], chunk),
+            pad_to(stab_disp[start:stop], chunk),
+            unstab_grid, config, h, w,
+        )
+        cropped_c = crop_frames(stab_c, crop, h, w)
+        kps_c = jax.tree.map(
+            lambda a: pad_to(a[start:stop], chunk), keypoints
+        )
+        r, d = cropping_and_distortion_scanned(
+            kps_c, fr, cropped_c, jax.random.fold_in(key, 2),
+            jnp.asarray(start, jnp.int32), config, h, w,
+            crop_rect=crop, use_pallas=use_pallas_lk(),
+        )
+        ratios.append(r[: stop - start])
+        dists.append(d[: stop - start])
+    cr = jnp.mean(jnp.concatenate(ratios))
+    ds = jnp.min(jnp.concatenate(dists))
+    ss = stability_score(stab_disp)
+    sync(cr, ds, ss)
+    dt = time.perf_counter() - t0
     return dt, (float(cr), float(ds), float(ss))
 
 
@@ -72,8 +170,11 @@ def main():
 
     stabilizer = MeshFlowStabilizer(config=config)
     # 9x the pixels of the demo clips: smaller frame chunks keep each
-    # device execution under the worker's kill threshold.
+    # device execution under the worker's kill threshold, and a single
+    # in-flight pass-1 window keeps HBM inside this (shared) chip's
+    # allocation with the 3 GB clip resident.
     stabilizer.CHUNK = int(os.environ.get("MESHFLOW_1080P_CHUNK", "32"))
+    os.environ.setdefault("MESHFLOW_INFLIGHT", "1")
     out = "/tmp/bench-1080p.mp4"
     results = {}
     for run in ("cold", "warm"):
@@ -93,20 +194,22 @@ def main():
     # Device-only: upload once (untimed), then cold + warm compute passes.
     reader = ChunkReader(CLIP)
     parts = []
+    start = 0
     while True:
         batch = reader.read(64)
         if batch.shape[0] == 0:
             break
         part = jnp.asarray(batch)
         sync(part)
-        parts.append(part)
+        parts.append((start, part))
+        start += part.shape[0]
     reader.close()
-    frames_dev = jnp.concatenate(parts, axis=0)
-    sync(frames_dev)
-    del parts
     h, w = info.height, info.width
-    device_only_pass(stabilizer, frames_dev, h, w)  # compile pass
-    dt, dev_metrics = device_only_pass(stabilizer, frames_dev, h, w)
+    chunk = stabilizer.CHUNK
+    cfg = stabilizer.config
+    nf = info.num_frames
+    device_only_pass(parts, nf, h, w, cfg, chunk)  # compile pass
+    dt, dev_metrics = device_only_pass(parts, nf, h, w, cfg, chunk)
     results["device_only"] = {
         "seconds": round(dt, 2),
         "fps": round(info.num_frames / dt, 3),
