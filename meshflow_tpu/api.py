@@ -328,7 +328,6 @@ class MeshFlowStabilizer:
                     config,
                     h,
                     w,
-                    crop_rect=crop_dev,
                     use_pallas=_use_pallas_lk(),
                 )
                 ratios.append(r[: stop - start])
@@ -395,7 +394,6 @@ class MeshFlowStabilizer:
                 config,
                 h,
                 w,
-                crop_rect=crop,
                 use_pallas=_use_pallas_lk(),
             )
             ratios.append(r[: stop - start])

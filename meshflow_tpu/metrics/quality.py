@@ -56,7 +56,6 @@ def cropping_and_distortion_scanned(
     config: MeshFlowConfig,
     frame_height: int,
     frame_width: int,
-    crop_rect: jnp.ndarray | None = None,
     use_pallas: bool | None = None,
 ):
     """Per-frame unstabilized->cropped homographies -> per-frame
@@ -65,11 +64,10 @@ def cropping_and_distortion_scanned(
     rebuilt per frame inside the scan (same memory policy as
     motion.pipeline).
 
-    crop_rect ((4,) [left, top, right, bottom], optional) is accepted for
-    callers that know the global crop (streaming pass 2); it is currently
-    unused -- seeding the tracker from it measurably shifts the surviving
-    feature population away from the reference's zero-init cv2 semantics
-    (see the comment at the tracker call)."""
+    Callers that know the global crop must NOT seed the tracker from it:
+    seeding at the analytic crop+stretch destination measurably shifts the
+    surviving feature population away from the reference's zero-init cv2
+    semantics (see the comment at the tracker call)."""
     from meshflow_tpu.motion.pipeline import (
         frame_tiles_f32,
         packed_tile_pyramids,

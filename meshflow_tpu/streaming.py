@@ -542,7 +542,6 @@ def _solve_and_render(
             r, d = cropping_and_distortion_scanned(
                 kps_c, unstab_c, cropped_c, key_metrics,
                 jnp.asarray(start, jnp.int32), config, h, w,
-                crop_rect=crop_dev,
                 use_pallas=use_pallas_lk(),
             )
             ratio_parts.append(r[:n])

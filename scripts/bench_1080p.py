@@ -129,7 +129,7 @@ def device_only_pass(parts, num_frames, h, w, config, chunk):
         r, d = cropping_and_distortion_scanned(
             kps_c, fr, cropped_c, jax.random.fold_in(key, 2),
             jnp.asarray(start, jnp.int32), config, h, w,
-            crop_rect=crop, use_pallas=use_pallas_lk(),
+            use_pallas=use_pallas_lk(),
         )
         ratios.append(r[: stop - start])
         dists.append(d[: stop - start])
