@@ -66,18 +66,24 @@ def fast_score_map(gray: jnp.ndarray) -> jnp.ndarray:
         _shift2d(gray, dx, dy).astype(jnp.int16) - center
         for dx, dy in CIRCLE_OFFSETS
     ]
-    d = jnp.stack(diffs, axis=-1)  # (..., H, W, 16)
+    def arc_min9(d):
+        # min over 9 cyclic consecutive entries for all 16 starting
+        # points, as a log-step min tree over plain per-arc arrays.  A
+        # stacked (..., H, W, 16) formulation with axis rolls materializes
+        # each tree stage as a 16x-frame-sized buffer (measured ~470 MB of
+        # transient HBM per 1080p frame); as an elementwise DAG on
+        # (..., H, W) arrays XLA fuses the tree into the score pass.
+        m2 = [jnp.minimum(d[k], d[(k + 1) % 16]) for k in range(16)]
+        m4 = [jnp.minimum(m2[k], m2[(k + 2) % 16]) for k in range(16)]
+        m8 = [jnp.minimum(m4[k], m4[(k + 4) % 16]) for k in range(16)]
+        m9 = [jnp.minimum(m8[k], d[(k + 8) % 16]) for k in range(16)]
+        out = m9[0]
+        for k in range(1, 16):
+            out = jnp.maximum(out, m9[k])
+        return out
 
-    def arc_min9(x):
-        # min over 9 cyclic consecutive entries, all 16 starting points:
-        # min9[k] = min(x[k..k+8]) via a log-step min tree of rolls.
-        m2 = jnp.minimum(x, jnp.roll(x, -1, axis=-1))          # len-2 windows
-        m4 = jnp.minimum(m2, jnp.roll(m2, -2, axis=-1))        # len-4
-        m8 = jnp.minimum(m4, jnp.roll(m4, -4, axis=-1))        # len-8
-        return jnp.minimum(m8, jnp.roll(x, -8, axis=-1))       # len-9
-
-    bright = jnp.max(arc_min9(d), axis=-1)
-    dark = jnp.max(arc_min9(-d), axis=-1)
+    bright = arc_min9(diffs)
+    dark = arc_min9([-d for d in diffs])
     return (jnp.maximum(bright, dark).astype(jnp.int32) - 1)
 
 

@@ -31,7 +31,21 @@ from meshflow_tpu.motion.features import match_from_tracks, match_pair
 from meshflow_tpu.motion.propagate import vertex_velocities
 from meshflow_tpu.utils import grid
 
-_DETECT_CHUNK = 32  # frames per FAST invocation (bounds the 16-way diff stack)
+_DETECT_PIXEL_BUDGET = 32 * 640 * 360  # pixels per FAST invocation
+
+
+def _detect_chunk(frame_height: int, frame_width: int) -> int:
+    """Frames per FAST invocation, scaled down with resolution.
+
+    The score map's 16-way shifted-diff stack and min-tree transiently
+    allocate ~470 MB per 1080p frame (measured: a 32-frame 1080p
+    invocation holds ~15 GB of HBM); bounding pixels-per-invocation keeps
+    the transient near the 640x360 level (~2 GB) at any resolution.
+    32 frames at 640x360 (the demo suite, unchanged) -> 4 at 1080p ->
+    1 at 4K.
+    """
+    per_frame = frame_height * frame_width
+    return max(1, min(32, _DETECT_PIXEL_BUDGET // per_frame))
 
 
 class MotionEstimate(NamedTuple):
@@ -51,9 +65,10 @@ def detect_all_frames(
 ):
     """FAST keypoints for every frame, chunked over the frame axis."""
     f = gray8.shape[0]
-    pad = (-f) % _DETECT_CHUNK
+    chunk = _detect_chunk(frame_height, frame_width)
+    pad = (-f) % chunk
     padded = jnp.pad(gray8, [(0, pad), (0, 0), (0, 0)])
-    blocks = padded.reshape(-1, _DETECT_CHUNK, frame_height, frame_width)
+    blocks = padded.reshape(-1, chunk, frame_height, frame_width)
     kps = jax.lax.map(
         lambda g: detect_keypoints(g, config, frame_height, frame_width), blocks
     )

@@ -26,6 +26,7 @@ REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 sys.path.insert(0, REPO)
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["MESHFLOW_PLATFORM"] = "cpu"  # axon plugin ignores JAX_PLATFORMS
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
