@@ -39,9 +39,6 @@ import jax.numpy as jnp
 from meshflow_tpu.config import MeshFlowConfig
 from meshflow_tpu.kernels.homography import quad_to_quad_homography
 
-_SEL_PRECISION = jax.lax.Precision.HIGH
-
-
 def cell_inverse_homographies(
     stab_pos: jnp.ndarray, unstab_grid: jnp.ndarray, config: MeshFlowConfig
 ) -> jnp.ndarray:
@@ -77,13 +74,29 @@ def _apply_h_table_block(
     cell_ids: jnp.ndarray, h_table: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray
 ):
     cells = h_table.shape[0]
+    # The (P, cells) one-hot dominates this op's HBM traffic (measured
+    # materialization-bound at 1080p); bf16 halves it.  Selection stays
+    # exact: one-hot entries are 0/1 in any dtype, and the f32 h table is
+    # Dekker-split into three bf16 terms (hi + mid + lo reconstructs all
+    # 24 mantissa bits), each contracted against the SAME bf16 one-hot —
+    # a one-hot row picks exactly one (hi, mid, lo) triple whose f32 sum
+    # is the original coefficient to ~2^-24 relative.
     onehot = (
         cell_ids[:, None] == jnp.arange(cells, dtype=jnp.int32)[None, :]
-    ).astype(jnp.float32)
-    hflat = jax.lax.dot_general(
-        onehot, h_table.reshape(cells, 9), (((1,), (0,)), ((), ())),
-        precision=_SEL_PRECISION,
-    )  # (P, 9)
+    ).astype(jnp.bfloat16)
+    hf = h_table.reshape(cells, 9)
+    h_hi = hf.astype(jnp.bfloat16)
+    rem = hf - h_hi.astype(jnp.float32)
+    h_mid = rem.astype(jnp.bfloat16)
+    h_lo = (rem - h_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    dims = (((1,), (0,)), ((), ()))
+
+    def bdot(t):
+        return jax.lax.dot_general(
+            onehot, t, dims, preferred_element_type=jnp.float32
+        )
+
+    hflat = bdot(h_hi) + bdot(h_mid) + bdot(h_lo)  # (P, 9)
     d = hflat[:, 6] * px + hflat[:, 7] * py + hflat[:, 8]
     d = jnp.where(jnp.abs(d) < 1e-10, 1e-10, d)
     qx = (hflat[:, 0] * px + hflat[:, 1] * py + hflat[:, 2]) / d
@@ -224,13 +237,6 @@ def bilinear_sample(
     """
     h, w, c = frame.shape
     packed = c == 3 and frame.dtype == jnp.uint8
-    if packed:
-        f32 = frame.astype(jnp.uint32)
-        img32 = (
-            f32[..., 0] | (f32[..., 1] << 8) | (f32[..., 2] << 16)
-        ).reshape(h * w)
-    else:
-        img = frame.astype(jnp.float32).reshape(h * w, c)
     x0 = jnp.floor(sample_x)
     y0 = jnp.floor(sample_y)
     fx = sample_x - x0
@@ -238,6 +244,68 @@ def bilinear_sample(
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
+    if packed:
+        # Quad-packed gather: TPU gathers are row-count-bound, so instead
+        # of four 1-word taps per pixel, gather ONE 4-word row holding a
+        # 2x2 footprint.  quad[i] = [p(i), p(i+1), p(i+w), p(i+w+1)] of
+        # the uint32-packed (B | G<<8 | R<<16) image; rolls build the
+        # footprint table once per frame (~4 frame copies of traffic, far
+        # below the gather saving).  The base corner is clamped to
+        # [0, w-2] x [0, h-2] so the quad never wraps; each tap then
+        # selects its word by its clamped offset from the base, which
+        # reproduces edge-clamp semantics exactly, and border mode
+        # substitutes the border color for outside taps as before.
+        f32 = frame.astype(jnp.uint32)
+        img32 = (
+            f32[..., 0] | (f32[..., 1] << 8) | (f32[..., 2] << 16)
+        ).reshape(h * w)
+        quad = jnp.stack(
+            [
+                img32,
+                jnp.roll(img32, -1),
+                jnp.roll(img32, -w),
+                jnp.roll(img32, -w - 1),
+            ],
+            axis=-1,
+        )  # (h*w, 4)
+        xb = jnp.clip(x0i, 0, w - 2)
+        yb = jnp.clip(y0i, 0, h - 2)
+        taps32 = jnp.take(quad, yb * w + xb, axis=0)  # (..., 4)
+
+        out = 0.0
+        border = (
+            jnp.asarray(border_bgr, jnp.float32)
+            if border_bgr is not None
+            else None
+        )
+        for dy in (0, 1):
+            for dx in (0, 1):
+                tx = x0i + dx
+                ty = y0i + dy
+                weight = (fx if dx else (1.0 - fx)) * (fy if dy else (1.0 - fy))
+                inside = (tx >= 0) & (tx < w) & (ty >= 0) & (ty < h)
+                wsel = (jnp.clip(ty, 0, h - 1) - yb) * 2 + (
+                    jnp.clip(tx, 0, w - 1) - xb
+                )  # in {0,1,2,3}
+                v32 = jnp.where(
+                    wsel >= 2,
+                    jnp.where(wsel == 3, taps32[..., 3], taps32[..., 2]),
+                    jnp.where(wsel == 1, taps32[..., 1], taps32[..., 0]),
+                )
+                vals = jnp.stack(
+                    [
+                        (v32 & 0xFF).astype(jnp.float32),
+                        ((v32 >> 8) & 0xFF).astype(jnp.float32),
+                        ((v32 >> 16) & 0xFF).astype(jnp.float32),
+                    ],
+                    axis=-1,
+                )
+                if border is not None:
+                    vals = jnp.where(inside[..., None], vals, border)
+                out = out + weight[..., None] * vals
+        return out
+
+    img = frame.astype(jnp.float32).reshape(h * w, c)
     out = 0.0
     for dy in (0, 1):
         for dx in (0, 1):
@@ -247,18 +315,7 @@ def bilinear_sample(
             inside = (tx >= 0) & (tx < w) & (ty >= 0) & (ty < h)
             txc = jnp.clip(tx, 0, w - 1)
             tyc = jnp.clip(ty, 0, h - 1)
-            if packed:
-                v32 = jnp.take(img32, tyc * w + txc)  # (...,)
-                vals = jnp.stack(
-                    [
-                        (v32 & 0xFF).astype(jnp.float32),
-                        ((v32 >> 8) & 0xFF).astype(jnp.float32),
-                        ((v32 >> 16) & 0xFF).astype(jnp.float32),
-                    ],
-                    axis=-1,
-                )
-            else:
-                vals = jnp.take(img, tyc * w + txc, axis=0)  # (..., C)
+            vals = jnp.take(img, tyc * w + txc, axis=0)  # (..., C)
             if border_bgr is not None:
                 border = jnp.asarray(border_bgr, jnp.float32)
                 vals = jnp.where(inside[..., None], vals, border)
