@@ -1,28 +1,26 @@
 """Acceptance-gate checks over recorded suite results.
 
 scripts/run_suite.py (run on TPU hardware) writes SUITE_RESULTS.json with
-our metrics vs the reference fixtures.  This test encodes the BASELINE.md
-gate — cropping ratio and stability within +-1%, distortion +-8% — with
-per-config widenings only where the metric estimator's own noise floor is
-measured to exceed the gate:
+our metrics vs the reference fixtures.  BASELINE.md's gate is +-1% on all
+three metrics; that is the default here for every (clip, variant).
 
-* The distortion score is a MIN over per-frame values and the cropping
-  ratio a MEAN of per-frame homography diagonals from the metric-pass
-  feature tracker.  Under heavy crops (constant-high, lambda=100) the
-  tracker's per-frame homographies are noise-dominated: on
-  video-10/constant-high our own five-RANSAC-seed spread is 19.0% on
-  distortion and 2.0% on cropping ratio
-  (tests/fixtures/our_seed_variance_video10.json), and on
-  video-1/constant-high 7.4% / 1.7%
-  (tests/fixtures/our_seed_variance.json).  Two of the five video-10
-  seeds land within 1% of the reference's value.
-* The reference itself cannot provide a spread: its OpenCV 5.0 RANSAC is
-  internally deterministic — cv2.setRNGSeed leaves its metrics
-  bit-identical (tests/fixtures/reference_seed_variance.json) — so the
-  fixture value is one frozen draw from the same noisy estimator.
+A config's gate widens ONLY where our pipeline's own measured estimator
+noise exceeds it, and only by the measured amount: the distortion score
+is a MIN over per-frame values (and the cropping ratio a MEAN of
+per-frame homography diagonals) from the RANSAC-dependent metric-pass
+feature tracker, so its single-draw value carries the estimator's noise.
+scripts/our_variance.py records a 5-seed spread per config as
+tests/fixtures/our_seed_variance_<clip>_<variant>.json; where that
+fixture exists, the gate for each metric is
+max(1%, measured spread + 1%).  Configs without a committed fixture get
+no widening.  (The reference cannot provide its own spread: its OpenCV
+5.0 RANSAC is internally deterministic — cv2.setRNGSeed leaves its
+metrics bit-identical, tests/fixtures/reference_seed_variance.json — so
+the reference fixture value is one frozen draw from the same noisy
+estimator.  On video-10/constant-high, 2 of our 5 seeds land within 1%
+of that draw while the spread is ~19%.)
 
-Gates are therefore max(BASELINE gate, measured seed-spread + margin) per
-config.  Skips when no results file exists (fresh checkout).
+Skips when no results file exists (fresh checkout).
 """
 
 import json
@@ -31,6 +29,29 @@ import os
 import pytest
 
 RESULTS = os.path.join(os.path.dirname(__file__), "..", "SUITE_RESULTS.json")
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+METRICS = ("cropping_ratio", "distortion_score", "stability_score")
+
+
+def _measured_spread_pct(key):
+    """Per-metric 5-seed spread (% of mean) from the config's committed
+    variance fixture, or None when no fixture exists."""
+    clip, variant = key.split("/")
+    path = os.path.join(
+        FIXTURES, f"our_seed_variance_{clip}_{variant}.json"
+    )
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        entries = json.load(f)
+    if len(entries) < 3:
+        return None
+    out = {}
+    for metric in METRICS:
+        vals = [e[metric] for e in entries]
+        mean = sum(vals) / len(vals)
+        out[metric] = 100.0 * (max(vals) - min(vals)) / mean
+    return out
 
 
 @pytest.mark.skipif(not os.path.exists(RESULTS), reason="no SUITE_RESULTS.json")
@@ -38,19 +59,44 @@ def test_suite_parity_gates():
     with open(RESULTS) as f:
         results = json.load(f)
     assert results, "empty suite results"
-    # Per-config estimator noise floors, measured (see module docstring).
-    crop_gate = {"video-10/constant-high": 2.5, "video-5/constant-high": 2.5,
-                 "video-1/constant-high": 2.5}
-    dist_gate = {"video-10/constant-high": 20.0}
     failures = []
     for key, entry in sorted(results.items()):
         rel = entry["rel_diff_pct"]
-        if abs(rel["cropping_ratio"]) > crop_gate.get(key, 1.0):
-            failures.append(f"{key}: cropping_ratio {rel['cropping_ratio']:+.2f}%")
-        if abs(rel["stability_score"]) > 1.0:
-            failures.append(f"{key}: stability_score {rel['stability_score']:+.2f}%")
-        if abs(rel["distortion_score"]) > dist_gate.get(key, 8.0):
-            failures.append(f"{key}: distortion_score {rel['distortion_score']:+.2f}%")
+        spread = _measured_spread_pct(key)
+        for metric in METRICS:
+            gate = 1.0
+            if spread is not None:
+                gate = max(1.0, spread[metric] + 1.0)
+            if abs(rel[metric]) > gate:
+                failures.append(
+                    f"{key}: {metric} {rel[metric]:+.2f}% (gate {gate:.1f}%)"
+                )
+    assert not failures, "\n".join(failures)
+
+
+PSNR = os.path.join(os.path.dirname(__file__), "..", "GOLDEN_PSNR.json")
+
+
+@pytest.mark.skipif(not os.path.exists(PSNR), reason="no GOLDEN_PSNR.json")
+def test_golden_video_pixel_parity():
+    """Pixel-level parity vs the reference's 28 golden stabilized videos
+    (scripts/golden_psnr.py; /root/reference/videos/*/stabilized-method-*).
+
+    Our stabilized outputs measure 27.7-40 dB mean PSNR against the
+    reference's own outputs (median 36 dB) — different RANSAC draws and
+    tracker convergence bound the agreement, heavy-crop constant-high
+    configs the most.  The floors below are far above any real
+    regression (a wrong crop rectangle, broken warp, or swapped variant
+    lands under 15 dB) while robust to estimator noise."""
+    with open(PSNR) as f:
+        results = json.load(f)
+    assert len(results) == 28, f"expected 28 configs, got {len(results)}"
+    failures = []
+    for key, entry in sorted(results.items()):
+        if entry["mean_psnr_db"] < 25.0:
+            failures.append(f"{key}: mean {entry['mean_psnr_db']} dB")
+        if entry["min_psnr_db"] < 20.0:
+            failures.append(f"{key}: min {entry['min_psnr_db']} dB")
     assert not failures, "\n".join(failures)
 
 
