@@ -2,9 +2,10 @@
 """Online-mode latency benchmark: p50/p90 per-frame latency of the
 streaming stabilizer (BASELINE.json config: "online low-latency mode").
 
-Usage: python scripts/bench_online.py [num_frames]
+Usage: python scripts/bench_online.py [num_frames] [--out FILE]
 """
 
+import json
 import os
 import sys
 import time
@@ -20,7 +21,13 @@ from meshflow_tpu.online import OnlineMeshFlowStabilizer  # noqa: E402
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    out_file = None
+    argv = list(sys.argv[1:])
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_file = argv[i + 1]
+        del argv[i : i + 2]
+    n = int(argv[0]) if argv else 60
     frames, info = read_video("/root/reference/videos/video-1/video-1.m4v")
     frames = frames[:n]
     stab = OnlineMeshFlowStabilizer()
@@ -32,13 +39,24 @@ def main():
         # out is numpy (device_to_host pull) => true synchronization
         latencies.append(time.perf_counter() - t0)
     warm = np.array(latencies[3:]) * 1000
+    record = {
+        "bench": "online low-latency mode, 640x360 (per-frame wall clock)",
+        "frames": len(warm),
+        "p50_ms": round(float(np.percentile(warm, 50)), 1),
+        "p90_ms": round(float(np.percentile(warm, 90)), 1),
+        "mean_ms": round(float(warm.mean()), 1),
+        "first_frame_ms": round(latencies[1] * 1000),
+        "note": "~40 ms of each latency is this environment's tunnel RTT",
+    }
     print(
         f"online latency over {len(warm)} frames: "
-        f"p50={np.percentile(warm, 50):.1f}ms "
-        f"p90={np.percentile(warm, 90):.1f}ms "
-        f"mean={warm.mean():.1f}ms "
-        f"(first-frame incl compile: {latencies[1]*1000:.0f}ms)"
+        f"p50={record['p50_ms']}ms p90={record['p90_ms']}ms "
+        f"mean={record['mean_ms']}ms "
+        f"(first-frame incl compile: {record['first_frame_ms']}ms)"
     )
+    if out_file:
+        with open(out_file, "w") as f:
+            json.dump(record, f, indent=1)
 
 
 if __name__ == "__main__":
