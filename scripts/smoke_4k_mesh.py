@@ -38,7 +38,15 @@ sys.path.insert(0, REPO)
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["MESHFLOW_PLATFORM"] = "cpu"  # axon plugin ignores JAX_PLATFORMS
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    # This host has one core: shard threads reach collectives minutes apart
+    # under 4K-scale work, tripping XLA-CPU's default 40 s rendezvous
+    # termination. Raise both rendezvous deadlines; real multi-chip TPU
+    # shards run concurrently, so the skew is an artifact of the smoke host.
+    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    + " --xla_cpu_collective_timeout_seconds=1200"
 )
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_meshflow_4k")
 
