@@ -136,8 +136,14 @@ def _maps_host(
     frame_width: int,
     config: MeshFlowConfig,
     region=None,
+    out: np.ndarray | None = None,
 ) -> np.ndarray:
-    """(F, 2, rh, rw) float32 backward maps [map_x, map_y] via mf_maps."""
+    """(F, 2, rh, rw) float32 backward maps [map_x, map_y] via mf_maps.
+
+    Pass a reused `out` buffer when calling per frame in a loop: faulting
+    in fresh anonymous pages costs ~20 us/page in this environment's VM,
+    so a chunk-sized fresh allocation (e.g. 1 GB for 64 frames at 1080p)
+    costs ~90 ms/frame — 25x the rasterization itself."""
     lib = load_library()
     _bind(lib)
     du = np.ascontiguousarray(unstab_disp, np.float32)
@@ -146,7 +152,12 @@ def _maps_host(
     if region is None:
         region = (0, 0, frame_width - 1, frame_height - 1)
     rx0, ry0, rx1, ry1 = (int(v) for v in region)
-    maps = np.empty((f, 2, ry1 - ry0 + 1, rx1 - rx0 + 1), np.float32)
+    shape = (f, 2, ry1 - ry0 + 1, rx1 - rx0 + 1)
+    if out is not None:
+        assert out.shape == shape and out.dtype == np.float32, (out.shape, shape)
+        maps = out
+    else:
+        maps = np.empty(shape, np.float32)
     f32p = ctypes.POINTER(ctypes.c_float)
     lib.mf_maps(
         du.ctypes.data_as(f32p),
@@ -176,32 +187,59 @@ def _edges_from_maps(map_x: np.ndarray, map_y: np.ndarray, h: int, w: int):
     return left, top, right, bottom
 
 
+_SCRATCH: dict = {}
+
+
+def _scratch(key, shape, dtype):
+    """Process-lifetime reused buffer (page faults on fresh chunk-scale
+    allocations dominate the actual pixel work in this environment; see
+    _maps_host).  Single-threaded use per key: the streaming producer is
+    the only caller of the render path in a process."""
+    buf = _SCRATCH.get(key)
+    if buf is None or buf.shape != shape or buf.dtype != dtype:
+        buf = np.empty(shape, dtype)
+        _SCRATCH[key] = buf
+    return buf
+
+
 def render_cropped_host(
     frames: np.ndarray,
     unstab_disp: np.ndarray,
     stab_disp: np.ndarray,
     crop: np.ndarray,
     config: MeshFlowConfig,
+    out: np.ndarray | None = None,
 ) -> np.ndarray:
     """Fused warp + crop + stretch for a chunk under a known global crop.
 
     Byte-identical to render_stabilized_host followed by crop_frames_host
-    (stage-1 uint8 rounding preserved), at ~crop-area cost."""
+    (stage-1 uint8 rounding preserved), at ~crop-area cost.
+
+    `out`, if given, receives the result (the caller owns reuse safety —
+    the streaming pipeline passes a persistent buffer once the previous
+    chunk has been consumed, avoiding chunk-scale page-fault churn)."""
     if _use_cv2_remap():
         import cv2
 
         frames = np.ascontiguousarray(frames, np.uint8)
         f, h, w = frames.shape[:3]
         left, top, right, bottom = (int(v) for v in crop)
-        maps = _maps_host(
-            unstab_disp, stab_disp, h, w, config,
-            region=(left, top, right, bottom),
-        )
+        rh, rw = bottom - top + 1, right - left + 1
+        # Rasterize + remap per frame through reused scratch: a whole-chunk
+        # maps array would fault in ~16 MB/frame of fresh pages each call.
+        maps1 = _scratch("maps1", (1, 2, rh, rw), np.float32)
+        stab = _scratch("stab", (rh, rw, 3), np.uint8)
         border = tuple(int(c) for c in config.color_outside_image_area_bgr)
-        out = np.empty_like(frames)
+        if out is None:
+            out = np.empty_like(frames)
         for i in range(f):
-            stab = cv2.remap(
-                frames[i], maps[i, 0], maps[i, 1], cv2.INTER_LINEAR,
+            _maps_host(
+                unstab_disp[i : i + 1], stab_disp[i : i + 1], h, w, config,
+                region=(left, top, right, bottom), out=maps1,
+            )
+            cv2.remap(
+                frames[i], maps1[0, 0], maps1[0, 1], cv2.INTER_LINEAR,
+                dst=stab,
                 borderMode=cv2.BORDER_CONSTANT, borderValue=border,
             )
             cv2.resize(stab, (w, h), dst=out[i], interpolation=cv2.INTER_LINEAR)
@@ -212,7 +250,8 @@ def render_cropped_host(
     du = np.ascontiguousarray(unstab_disp, np.float32)
     ds = np.ascontiguousarray(stab_disp, np.float32)
     f, h, w = frames.shape[:3]
-    out = np.empty_like(frames)
+    if out is None:
+        out = np.empty_like(frames)
     border = np.asarray(config.color_outside_image_area_bgr, np.uint8)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.mf_render_cropped(
@@ -243,17 +282,21 @@ def render_stabilized_host(
 
         frames = np.ascontiguousarray(frames, np.uint8)
         f, h, w = frames.shape[:3]
-        maps = _maps_host(unstab_disp, stab_disp, h, w, config)
+        maps1 = _scratch("maps_full", (1, 2, h, w), np.float32)
         border = tuple(int(c) for c in config.color_outside_image_area_bgr)
         out = np.empty_like(frames)
         edges = np.empty((f, 4), np.int32)
         for i in range(f):
+            _maps_host(
+                unstab_disp[i : i + 1], stab_disp[i : i + 1], h, w, config,
+                out=maps1,
+            )
             cv2.remap(
-                frames[i], maps[i, 0], maps[i, 1], cv2.INTER_LINEAR,
+                frames[i], maps1[0, 0], maps1[0, 1], cv2.INTER_LINEAR,
                 dst=out[i],
                 borderMode=cv2.BORDER_CONSTANT, borderValue=border,
             )
-            edges[i] = _edges_from_maps(maps[i, 0], maps[i, 1], h, w)
+            edges[i] = _edges_from_maps(maps1[0, 0], maps1[0, 1], h, w)
         crop = np.array(
             [
                 edges[:, 0].max(),

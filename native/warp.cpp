@@ -109,10 +109,18 @@ void parallel_for(long n, const std::function<void(long, long)>& fn) {
 
 // Fill one frame's backward maps (map_x/map_y/pri) from its displacement
 // fields, optionally restricted to the pixel region [ry0..ry1]x[rx0..rx1].
-// The per-cell inner loop walks each row with incrementally-updated
-// homogeneous numerators (3 adds + 2 divs per pixel instead of 6 muls);
-// the accumulated double rounding (~1e-12 over a row) is far below the
-// +-1 px membership slack.
+//
+// The per-cell setup (homographies, bboxes) stays in double; the per-pixel
+// loop runs in float32 with a reciprocal-multiply so gcc vectorizes it
+// 16-wide (AVX-512 on this host): measured 13.2 -> 3.6 ms/frame at 1080p.
+// Float32 shifts map values by <=1e-3 px vs the double path and flips cell
+// membership on ~2e-6 of pixels at quad seams — both far below cv2.remap's
+// 1/32-px fixed-point coordinate quantization and the +-1 px membership
+// slack, and the same precision the device renderer uses (f32 everywhere).
+//
+// pri may be null when the caller only needs maps (mf_maps/mf_crop_edges):
+// the sentinel in map_x already encodes "uncovered", and skipping the pri
+// plane saves one full fill+store pass.
 void rasterize_maps(
     const float* du, const float* ds, long height, long width,
     long mesh_rows, long mesh_cols, long rx0, long rx1, long ry0, long ry1,
@@ -146,17 +154,19 @@ void rasterize_maps(
 
     std::fill(map_x, map_x + rh * rw, static_cast<float>(width + 1));
     std::fill(map_y, map_y + rh * rw, static_cast<float>(height + 1));
-    std::fill(pri, pri + rh * rw, -1);
+    if (pri) std::fill(pri, pri + rh * rw, -1);
 
     // Rasterize cells in row-major order (later cells win via priority
     // compare == overwrite order of the reference).
     for (long r = 0; r < mesh_rows; ++r) {
         for (long c = 0; c < mesh_cols; ++c) {
             const H33& h = hinv[r * mesh_cols + c];
-            const double left = grid_line(c, mesh_cols, width);
-            const double right = grid_line(c + 1, mesh_cols, width);
-            const double top = grid_line(r, mesh_rows, height);
-            const double bottom = grid_line(r + 1, mesh_rows, height);
+            const float left = static_cast<float>(grid_line(c, mesh_cols, width));
+            const float right =
+                static_cast<float>(grid_line(c + 1, mesh_cols, width));
+            const float top = static_cast<float>(grid_line(r, mesh_rows, height));
+            const float bottom =
+                static_cast<float>(grid_line(r + 1, mesh_rows, height));
             // stabilized-space bbox of this cell's quad (+2 slack)
             double minx = 1e30, maxx = -1e30, miny = 1e30, maxy = -1e30;
             for (int dr = 0; dr < 2; ++dr)
@@ -178,29 +188,48 @@ void rasterize_maps(
             int32_t key = static_cast<int32_t>(r * mesh_cols + c);
             // Cells are rasterized in increasing key order, so when a pixel
             // is a member of this cell the store is unconditional (pri can
-            // only hold a smaller key) — that makes the loop if-convertible
-            // and the compiler vectorizes the fma/div/compare/masked-store
-            // body 8-wide.
-            const double h0 = h.m[0], h3 = h.m[3], h6 = h.m[6];
+            // only hold a smaller key); the select form below is what gcc
+            // if-converts into blends + vector stores.
+            const float h0 = static_cast<float>(h.m[0]);
+            const float h3 = static_cast<float>(h.m[3]);
+            const float h6 = static_cast<float>(h.m[6]);
             for (long y = y0; y <= y1; ++y) {
-                const double cx_ = h.m[1] * y + h.m[2];
-                const double cy_ = h.m[4] * y + h.m[5];
-                const double cd_ = h.m[7] * y + h.m[8];
+                // row constants from the double homography, pixels in f32
+                const float cx_ = static_cast<float>(h.m[1] * y + h.m[2]);
+                const float cy_ = static_cast<float>(h.m[4] * y + h.m[5]);
+                const float cd_ = static_cast<float>(h.m[7] * y + h.m[8]);
                 const long row_base = (y - ry0) * rw - rx0;
-                for (long x = x0; x <= x1; ++x) {
-                    const double fx = static_cast<double>(x);
-                    const double nd = h6 * fx + cd_;
-                    const double qx = (h0 * fx + cx_) / nd;
-                    const double qy = (h3 * fx + cy_) / nd;
-                    const bool member =
-                        std::fabs(nd) >= 1e-12 && qx > left - 1.0 &&
-                        qx < right + 1.0 && qy > top - 1.0 &&
-                        qy < bottom + 1.0;
-                    if (member) {
-                        const long idx = row_base + x;
-                        pri[idx] = key;
-                        map_x[idx] = static_cast<float>(qx);
-                        map_y[idx] = static_cast<float>(qy);
+                float* __restrict mx = map_x + row_base;
+                float* __restrict my = map_y + row_base;
+                if (pri) {
+                    int32_t* __restrict pr = pri + row_base;
+                    for (long x = x0; x <= x1; ++x) {
+                        const float fx = static_cast<float>(x);
+                        const float nd = h6 * fx + cd_;
+                        const float rcp = 1.0f / nd;
+                        const float qx = (h0 * fx + cx_) * rcp;
+                        const float qy = (h3 * fx + cy_) * rcp;
+                        const bool member =
+                            std::fabs(nd) >= 1e-12f && qx > left - 1.0f &&
+                            qx < right + 1.0f && qy > top - 1.0f &&
+                            qy < bottom + 1.0f;
+                        pr[x] = member ? key : pr[x];
+                        mx[x] = member ? qx : mx[x];
+                        my[x] = member ? qy : my[x];
+                    }
+                } else {
+                    for (long x = x0; x <= x1; ++x) {
+                        const float fx = static_cast<float>(x);
+                        const float nd = h6 * fx + cd_;
+                        const float rcp = 1.0f / nd;
+                        const float qx = (h0 * fx + cx_) * rcp;
+                        const float qy = (h3 * fx + cy_) * rcp;
+                        const bool member =
+                            std::fabs(nd) >= 1e-12f && qx > left - 1.0f &&
+                            qx < right + 1.0f && qy > top - 1.0f &&
+                            qy < bottom + 1.0f;
+                        mx[x] = member ? qx : mx[x];
+                        my[x] = member ? qy : my[x];
                     }
                 }
             }
@@ -369,7 +398,6 @@ extern "C" void mf_crop_edges(
     parallel_for(num_frames, [&](long f0, long f1) {
         std::vector<float> map_x(height * width);
         std::vector<float> map_y(height * width);
-        std::vector<int32_t> pri(height * width);
         std::vector<H33> hinv(cells);
 
         for (long f = f0; f < f1; ++f) {
@@ -378,7 +406,7 @@ extern "C" void mf_crop_edges(
             rasterize_maps(du, ds, height, width, mesh_rows, mesh_cols,
                            0, width - 1, 0, height - 1,
                            hinv.data(), map_x.data(), map_y.data(),
-                           pri.data());
+                           nullptr);
             long e_left = 0, e_right = width - 1, e_top = 0,
                  e_bottom = height - 1;
             bool f_left = false, f_right = false, f_top = false,
@@ -507,7 +535,6 @@ extern "C" void mf_maps(
     const long rw = rx1 - rx0 + 1, rh = ry1 - ry0 + 1;
 
     parallel_for(num_frames, [&](long f0, long f1) {
-        std::vector<int32_t> pri(rh * rw);
         std::vector<H33> hinv(cells);
         for (long f = f0; f < f1; ++f) {
             const float* du = unstab_disp + f * vr * vc * 2;
@@ -516,7 +543,7 @@ extern "C" void mf_maps(
             float* map_y = map_x + rh * rw;
             rasterize_maps(du, ds, height, width, mesh_rows, mesh_cols,
                            rx0, rx1, ry0, ry1, hinv.data(), map_x, map_y,
-                           pri.data());
+                           nullptr);
         }
     });
 }
