@@ -92,6 +92,15 @@ class MeshFlowStabilizer:
                 color_outside_image_area_bgr=tuple(color_outside_image_area_bgr),
                 visualize=visualize,
             )
+        # Env override for benchmarks/CLI-less callers: tracking-plane
+        # transport ("bgr" reference-parity default / "gray" 3x-lighter).
+        import os as _env_os
+
+        env_planes = _env_os.environ.get("MESHFLOW_TRACK_PLANES")
+        if env_planes and env_planes != config.track_planes:
+            import dataclasses as _dc
+
+            config = _dc.replace(config, track_planes=env_planes)
         self.config = config
         self.visualize = config.visualize
         self._key = jax.random.PRNGKey(seed)
@@ -173,8 +182,20 @@ class MeshFlowStabilizer:
         with timer.stage("decode"):
             frames_np, info = video_io.read_video(input_path)
         num_frames, h, w = frames_np.shape[:3]
+        if config.track_planes == "gray" and not _host_render.available():
+            # Gray transport ships single-plane frames to the device; the
+            # output video still needs BGR pixels, which then must come
+            # from the native host renderer.
+            raise RuntimeError(
+                "track_planes='gray' requires the native host renderer "
+                "(scripts/build_native.sh)."
+            )
         with timer.stage("host->device"):
-            frames = jnp.asarray(frames_np)
+            from meshflow_tpu import streaming as _streaming
+
+            frames = jnp.asarray(
+                _streaming.to_track_planes(frames_np, config)
+            )
             sync(frames)
 
         # Host-render path reuses the decoded numpy frames rather than
@@ -266,12 +287,28 @@ class MeshFlowStabilizer:
             if mode == "auto"
             else mode == "host"
         )
+        if config.track_planes == "gray" and not (
+            use_host and host_render.available()
+        ):
+            raise RuntimeError(
+                "track_planes='gray' keeps only single-plane frames on "
+                "device; rendering needs the native host renderer "
+                "(MESHFLOW_RENDER=host + scripts/build_native.sh)."
+            )
         if use_host and host_render.available():
             with timer.stage("warp+crop (host)"):
                 du_np = np.asarray(motion.displacements)
                 ds_np = np.asarray(stab_disp)
                 frames_np = getattr(self, "_frames_np_cache", None)
-                if frames_np is None or frames_np.shape != frames.shape:
+                # Compare (F, H, W) only: under track_planes="gray" the
+                # device frames are single-plane while the host cache keeps
+                # the BGR pixels the renderer needs.
+                if frames_np is None or frames_np.shape[:3] != frames.shape[:3]:
+                    if config.track_planes == "gray":
+                        raise RuntimeError(
+                            "track_planes='gray' requires the decoded BGR "
+                            "frames on host (no device copy exists)."
+                        )
                     frames_np = device_to_host_u8(frames)
                 stabilized_np, crop_np = host_render.render_stabilized_host(
                     frames_np, du_np, ds_np, config

@@ -77,6 +77,7 @@ def _motion_config_key(config) -> str:
         config.lk_min_eig_threshold,
         config.ransac_iterations,
         config.homography_refine_iterations,
+        config.track_planes,
     )
     return repr(fields)
 

@@ -91,6 +91,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--visualize", action="store_true")
     p.add_argument(
+        "--track-planes",
+        choices=("bgr", "gray"),
+        default="bgr",
+        help="planes the feature trackers consume: 'bgr' matches the "
+        "reference exactly; 'gray' ships/processes 3x less pixel data "
+        "(recommended at >=1080p, slightly different track survival)",
+    )
+    p.add_argument(
         "--json", action="store_true", help="print metrics as one JSON line"
     )
     return p
@@ -98,8 +106,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    import os
+
     from meshflow_tpu.api import MeshFlowStabilizer
 
+    if args.track_planes != "bgr":
+        os.environ["MESHFLOW_TRACK_PLANES"] = args.track_planes
     stabilizer = MeshFlowStabilizer(
         mesh_row_count=args.mesh_rows,
         mesh_col_count=args.mesh_cols,

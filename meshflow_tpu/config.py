@@ -83,12 +83,24 @@ class MeshFlowConfig:
     # Gauss-Newton refinement iterations for least-squares homographies
     # (OpenCV refines with an LM solver capped at 10 iterations).
     homography_refine_iterations: int = 10
+    # Pixel planes the trackers consume.  "bgr" matches the reference,
+    # which runs cv2.calcOpticalFlowPyrLK on 3-channel BGR subframes
+    # (/root/reference/meshflowstabilizer.py:618-620) — LK gradients and
+    # residuals accumulate over the three channels.  "gray" tracks on the
+    # exact-cv2 gray plane instead: 3x less host->device transfer and 3x
+    # less pyramid/window device work, at the cost of slightly different
+    # weak-texture track survival (FAST detection is on gray either way,
+    # so keypoints are identical).  Affects motion results, so it is part
+    # of the motion checkpoint key.
+    track_planes: str = "bgr"
 
     def __post_init__(self):
         if self.mesh_row_count < 1 or self.mesh_col_count < 1:
             raise ValueError("mesh dimensions must be positive")
         if self.temporal_smoothing_radius < 1:
             raise ValueError("temporal_smoothing_radius must be positive")
+        if self.track_planes not in ("bgr", "gray"):
+            raise ValueError("track_planes must be 'bgr' or 'gray'")
 
     # --- derived static geometry ---------------------------------------
     @property

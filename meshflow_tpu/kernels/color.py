@@ -32,3 +32,11 @@ def bgr_to_gray(bgr: jnp.ndarray) -> jnp.ndarray:
 def bgr_to_gray_f32(bgr: jnp.ndarray) -> jnp.ndarray:
     """float32 gray in [0, 255] from uint8 BGR, via the exact uint8 path."""
     return bgr_to_gray(bgr).astype(jnp.float32)
+
+
+def gray_of_bgr_color(bgr: tuple) -> int:
+    """Python-side exact gray of one (B, G, R) uint8 triple — the border
+    color a gray-plane warp must use so border pixels equal
+    bgr_to_gray(warped-BGR border) exactly."""
+    b, g, r = (int(v) for v in bgr)
+    return (b * _B2Y + g * _G2Y + r * _R2Y + (1 << (_SHIFT - 1))) >> _SHIFT

@@ -143,10 +143,10 @@ def packed_tile_pyramids(
     in compact dtypes: pyrDown levels are 8-bit values (uint8), Scharr
     derivatives x32 are integers within int16.
 
-    frames_bgr: (F, H, W, 3) uint8 -> tuple over levels of
-    (image_u8, gx_i16, gy_i16), each (F, C, S, Hp_l, Wp_l).
+    frames_bgr: (F, H, W, C) uint8 (C=3 BGR or C=1 gray) -> tuple over
+    levels of (image_u8, gx_i16, gy_i16), each (F, C, S, Hp_l, Wp_l).
     """
-    chans = jnp.moveaxis(frames_bgr, -1, 1).astype(jnp.float32)  # (F, 3, H, W)
+    chans = jnp.moveaxis(frames_bgr, -1, 1).astype(jnp.float32)  # (F, C, H, W)
     tiles = split_tiles(chans, config)  # (F, 3, S, th, tw)
     packed = []
     for lvl in build_pyramid(tiles, max_level):
@@ -174,10 +174,17 @@ def unpack_level(packed_level, t) -> PaddedLevel:
 def prepare_frames(frames_bgr: jnp.ndarray, config: MeshFlowConfig):
     """Shared per-frame work: gray conversion and keypoints.
 
-    frames_bgr: (F, H, W, 3) uint8.  Returns (keypoints, gray8 (F, H, W)).
+    frames_bgr: (F, H, W, 3) uint8 BGR or (F, H, W, 1) uint8 gray (the
+    track_planes="gray" transport, already converted with cv2's exact
+    BGR2GRAY on the host).  Returns (keypoints, gray8 (F, H, W)) — FAST
+    detection input is identical either way.
     """
     f, h, w = frames_bgr.shape[:3]
-    gray8 = bgr_to_gray(frames_bgr)
+    gray8 = (
+        frames_bgr[..., 0]
+        if frames_bgr.shape[-1] == 1
+        else bgr_to_gray(frames_bgr)
+    )
     keypoints = detect_all_frames(gray8, config, h, w)
     return keypoints, gray8
 
@@ -342,7 +349,7 @@ def use_pallas_lk() -> bool:
 
 
 def frame_tiles_f32(frames_bgr: jnp.ndarray, config: MeshFlowConfig):
-    """(F, H, W, 3) uint8 BGR -> (F, S, C, th, tw) float32 tiles."""
+    """(F, H, W, C) uint8 (C=3 BGR / C=1 gray) -> (F, S, C, th, tw) f32."""
     chans = jnp.moveaxis(frames_bgr, -1, 1).astype(jnp.float32)  # (F,C,H,W)
     tiles = split_tiles(chans, config)  # (F, C, S, th, tw)
     return jnp.swapaxes(tiles, 1, 2)  # (F, S, C, th, tw)

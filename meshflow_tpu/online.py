@@ -87,7 +87,7 @@ def online_prepare(
     valid within one backend, which is fixed per process.
     """
     max_level = config.lk_max_level(frame_height, frame_width)
-    gray = bgr_to_gray(frame)
+    gray = frame[..., 0] if frame.shape[-1] == 1 else bgr_to_gray(frame)
     kps = detect_keypoints(gray, config, frame_height, frame_width)
     if _use_pallas():
         from meshflow_tpu.kernels import lk_pallas

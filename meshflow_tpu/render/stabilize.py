@@ -326,7 +326,11 @@ def bilinear_sample(
 def warp_frame(
     frame: jnp.ndarray, bmap: BackwardMap, border_bgr
 ) -> jnp.ndarray:
-    """Render one stabilized frame (uint8) from its backward map."""
+    """Render one stabilized frame (uint8) from its backward map.
+
+    frame: (H, W, C) uint8; border_bgr must be length C (the gray metric
+    path passes the exact-cv2 gray of the BGR border color)."""
+    c = frame.shape[-1]
     sampled = bilinear_sample(
         frame, bmap.map_x.reshape(-1), bmap.map_y.reshape(-1), border_bgr
     )
@@ -334,7 +338,7 @@ def warp_frame(
     sampled = jnp.where(bmap.covered.reshape(-1, 1), sampled, border)
     h, w = bmap.map_x.shape
     return (
-        jnp.clip(jnp.round(sampled), 0, 255).astype(jnp.uint8).reshape(h, w, 3)
+        jnp.clip(jnp.round(sampled), 0, 255).astype(jnp.uint8).reshape(h, w, c)
     )
 
 
@@ -433,11 +437,21 @@ def render_stabilized(
 ):
     """Warp all frames and compute the video crop rectangle.
 
-    frames: (F, H, W, 3) uint8; *_disp: (F, R+1, C+1, 2).
-    Returns (stabilized (F, H, W, 3) uint8, crop (4,) int32
-    [left, top, right, bottom]).
+    frames: (F, H, W, C) uint8 (C=3 BGR or C=1 gray); *_disp:
+    (F, R+1, C+1, 2).  Returns (stabilized (F, H, W, C) uint8,
+    crop (4,) int32 [left, top, right, bottom]).
     """
-    border = jnp.asarray(config.color_outside_image_area_bgr, jnp.float32)
+    if frames.shape[-1] == 1:
+        from meshflow_tpu.kernels.color import gray_of_bgr_color
+
+        border = jnp.asarray(
+            [gray_of_bgr_color(config.color_outside_image_area_bgr)],
+            jnp.float32,
+        )
+    else:
+        border = jnp.asarray(
+            config.color_outside_image_area_bgr, jnp.float32
+        )
 
     def body(carry, inputs):
         frame, du, ds = inputs

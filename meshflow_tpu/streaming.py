@@ -54,6 +54,22 @@ from meshflow_tpu.solver.weights import adaptive_weights
 from meshflow_tpu.utils.transfer import sync
 
 
+def to_track_planes(batch_bgr: np.ndarray, config: MeshFlowConfig) -> np.ndarray:
+    """Host-side plane prep for upload: (F, H, W, 3) BGR -> the planes the
+    device trackers consume.  track_planes="gray" converts with cv2 (bit-
+    identical to the device's kernels.color.bgr_to_gray) and ships
+    (F, H, W, 1) — 3x less host->device transfer and device pyramid work.
+    """
+    if config.track_planes != "gray":
+        return batch_bgr
+    import cv2
+
+    out = np.empty(batch_bgr.shape[:3] + (1,), np.uint8)
+    for i in range(batch_bgr.shape[0]):
+        cv2.cvtColor(batch_bgr[i], cv2.COLOR_BGR2GRAY, dst=out[i, :, :, 0])
+    return out
+
+
 class ChunkReader:
     """Sequential frame reader: native (prefetch thread) or cv2 fallback.
 
@@ -264,6 +280,26 @@ def stabilize_streamed(
     )
     keep_frames = hbm_budget > 0 and loaded is None
 
+    # Keep pass-1's decoded batches in host RAM so pass 2 skips the second
+    # decode of the whole clip (~33 ms/frame at 1080p on this host's single
+    # core).  All-or-nothing on the clip's full size: a prefix cache would
+    # still force a sequential re-decode to reach the tail.  The reader
+    # allocates a fresh array per read, so retaining the batches is
+    # zero-copy.  Resumed runs (loaded motion) have no pass 1 to piggyback
+    # on; they decode in pass 2 as before.
+    cache_budget = int(
+        float(
+            __import__("os").environ.get("MESHFLOW_HOST_FRAME_CACHE_GB", 8)
+        )
+        * (1 << 30)
+    )
+    host_cache: "list[np.ndarray] | None" = (
+        []
+        if loaded is None
+        and 0 < num_frames * h * w * 3 <= cache_budget
+        else None
+    )
+
     if loaded is not None:
         motion = MotionEstimate(
             displacements=jnp.asarray(loaded.displacements),
@@ -279,7 +315,7 @@ def stabilize_streamed(
         return _solve_and_render(
             input_path, output_path, adaptive_weights_definition, config,
             key, timer, chunk, acc, info, motion, keypoints, frame_parts,
-            keep_frames,
+            keep_frames, None,
         )
 
     # ---- pass 1: windows of `chunk` frames, stride chunk-1 (1-frame halo)
@@ -309,7 +345,10 @@ def stabilize_streamed(
         acc.add("decode", time.perf_counter() - t0)
         if batch.shape[0] == 0:
             break
+        if host_cache is not None:
+            host_cache.append(batch)
         t0 = time.perf_counter()
+        batch = to_track_planes(batch, config)
         window_np = (
             batch
             if halo_np is None
@@ -377,7 +416,7 @@ def stabilize_streamed(
     return _solve_and_render(
         input_path, output_path, adaptive_weights_definition, config,
         key, timer, chunk, acc, info, motion, keypoints, frame_parts,
-        keep_frames,
+        keep_frames, host_cache,
     )
 
 
@@ -395,6 +434,7 @@ def _solve_and_render(
     keypoints,
     frame_parts,
     keep_frames,
+    host_cache,
 ):
     """Solver + crop + pass 2 (shared by the fresh and resumed paths)."""
     h, w = info.height, info.width
@@ -467,23 +507,44 @@ def _solve_and_render(
         return False
 
     def produce():
-        reader2 = ChunkReader(input_path)
+        # Frame source: pass-1's retained decoded batches when the whole
+        # clip fit the host cache budget, else a second decode.
+        reader2 = None if host_cache is not None else ChunkReader(input_path)
+        cache_iter = iter(host_cache) if host_cache is not None else None
         start = 0
+        # With device-derived metric frames the rendered pixels are consumed
+        # synchronously by writer.write below, so one persistent buffer can
+        # host every chunk's output (fresh chunk-scale allocations pay
+        # ~20 us/page in faults here — see render.host._scratch).  With
+        # uploaded metric frames the array is retained via the queue, so
+        # each chunk must own its allocation.
+        out_buf = None
         try:
             while not cancel.is_set():
                 t0 = time.perf_counter()
-                batch = reader2.read(chunk)
+                if cache_iter is not None:
+                    batch = next(cache_iter, None)
+                    if batch is None:
+                        break
+                else:
+                    batch = reader2.read(chunk)
                 acc.add("decode", time.perf_counter() - t0)
                 n = batch.shape[0]
                 if n == 0:
                     break
                 t0 = time.perf_counter()
+                out_view = None
+                if metric_src == "device":
+                    if out_buf is None or out_buf.shape[0] < n:
+                        out_buf = np.empty_like(batch)
+                    out_view = out_buf[:n]
                 cropped_np = host_render.render_cropped_host(
                     batch,
                     du_np[start : start + n],
                     ds_np[start : start + n],
                     crop,
                     config,
+                    out=out_view,
                 )
                 acc.add("warp+crop (host)", time.perf_counter() - t0)
                 t0 = time.perf_counter()
@@ -492,7 +553,9 @@ def _solve_and_render(
                 if not _put(
                     (
                         start,
-                        None if start + n <= res_end else batch,
+                        None
+                        if start + n <= res_end
+                        else to_track_planes(batch, config),
                         cropped_np if metric_src != "device" else None,
                         n,
                     )
@@ -502,7 +565,8 @@ def _solve_and_render(
         except BaseException as e:  # surfaced in the main thread
             producer_error.append(e)
         finally:
-            reader2.close()
+            if reader2 is not None:
+                reader2.close()
             _put(None)
 
     thread = threading.Thread(target=produce, daemon=True)
@@ -532,7 +596,9 @@ def _solve_and_render(
                 )
                 cropped_c = _crop_frames_dev(stab_c, crop_dev, h, w)
             else:
-                cropped_c = _pad_dev(jnp.asarray(cropped_np), chunk)
+                cropped_c = _pad_dev(
+                    jnp.asarray(to_track_planes(cropped_np, config)), chunk
+                )
             kps_c = jax.tree.map(
                 lambda a: _pad_dev(
                     jax.lax.dynamic_slice_in_dim(a, start, n, axis=0), chunk

@@ -191,6 +191,28 @@ def main():
             },
         }
 
+    # track_planes="gray": single-plane transport/tracking (3x less wire
+    # and pyramid work; --track-planes gray on the CLI).  Same clip, same
+    # driver; cold is a fresh trace (different plane shapes).
+    import dataclasses
+
+    gray_cfg = dataclasses.replace(stabilizer.config, track_planes="gray")
+    gray_stab = MeshFlowStabilizer(config=gray_cfg)
+    gray_stab.CHUNK = stabilizer.CHUNK
+    for run in ("gray_cold", "gray_warm"):
+        t0 = time.perf_counter()
+        metrics = gray_stab.stabilize(CLIP, "/tmp/bench-1080p-gray.mp4", 0)
+        dt = time.perf_counter() - t0
+        results[run] = {
+            "seconds": round(dt, 2),
+            "fps": round(info.num_frames / dt, 3),
+            "metrics": [float(m) for m in metrics],
+            "stages": {
+                name: round(seconds, 2)
+                for name, seconds in gray_stab.last_timer.stages
+            },
+        }
+
     # Device-only: upload once (untimed), then cold + warm compute passes.
     reader = ChunkReader(CLIP)
     parts = []
@@ -218,6 +240,33 @@ def main():
         "device; no wire, no host pixel work",
     }
 
+    # Device-only, gray planes (resident single-plane frames).  Free the
+    # BGR copy first: 3 GB + 1 GB of resident frames plus the pass's
+    # working set would crowd this shared chip's HBM.
+    del parts
+    from meshflow_tpu.streaming import to_track_planes
+
+    reader = ChunkReader(CLIP)
+    gparts = []
+    start = 0
+    while True:
+        batch = reader.read(64)
+        if batch.shape[0] == 0:
+            break
+        part = jnp.asarray(to_track_planes(batch, gray_cfg))
+        sync(part)
+        gparts.append((start, part))
+        start += part.shape[0]
+    reader.close()
+    device_only_pass(gparts, nf, h, w, gray_cfg, chunk)  # compile pass
+    dt, gdev_metrics = device_only_pass(gparts, nf, h, w, gray_cfg, chunk)
+    results["device_only_gray"] = {
+        "seconds": round(dt, 2),
+        "fps": round(info.num_frames / dt, 3),
+        "metrics": list(gdev_metrics),
+        "note": "as device_only but track_planes=gray single-plane frames",
+    }
+
     record = {
         "bench": label,
         "frames": info.num_frames,
@@ -228,6 +277,12 @@ def main():
         ),
         "realtime_factor_device_only": round(
             results["device_only"]["fps"] / info.fps, 3
+        ),
+        "realtime_factor_gray_warm": round(
+            results["gray_warm"]["fps"] / info.fps, 3
+        ),
+        "realtime_factor_device_only_gray": round(
+            results["device_only_gray"]["fps"] / info.fps, 3
         ),
         **results,
     }

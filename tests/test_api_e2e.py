@@ -139,9 +139,15 @@ def test_streamed_matches_in_memory(tmp_path, rng, monkeypatch):
     )
 
     results, outs = {}, {}
-    for mode in ("0", "1"):
-        monkeypatch.setenv("MESHFLOW_STREAM", mode)
+    # "1" streams with the pass-1 decoded-frame cache (default);
+    # "1-nocache" forces pass 2's re-decode path.
+    for mode in ("0", "1", "1-nocache"):
+        monkeypatch.setenv("MESHFLOW_STREAM", mode[0])
         monkeypatch.setenv("MESHFLOW_RENDER", "host")
+        monkeypatch.setenv(
+            "MESHFLOW_HOST_FRAME_CACHE_GB",
+            "0" if mode.endswith("nocache") else "8",
+        )
         m = MeshFlowStabilizer(config=config)
         m.CHUNK = 16
         out = tmp_path / f"out_{mode}.avi"
@@ -156,8 +162,9 @@ def test_streamed_matches_in_memory(tmp_path, rng, monkeypatch):
         cap.release()
         outs[mode] = np.stack(frames)
 
-    assert results["0"] == results["1"]
+    assert results["0"] == results["1"] == results["1-nocache"]
     np.testing.assert_array_equal(outs["0"], outs["1"])
+    np.testing.assert_array_equal(outs["1"], outs["1-nocache"])
 
 
 @pytest.mark.slow
