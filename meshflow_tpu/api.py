@@ -75,6 +75,7 @@ class MeshFlowStabilizer:
         config: MeshFlowConfig | None = None,
         seed: int = 0,
         checkpoint_dir: str | None = None,
+        track_planes: str | None = None,
     ):
         if config is None:
             config = MeshFlowConfig(
@@ -92,15 +93,18 @@ class MeshFlowStabilizer:
                 color_outside_image_area_bgr=tuple(color_outside_image_area_bgr),
                 visualize=visualize,
             )
-        # Env override for benchmarks/CLI-less callers: tracking-plane
-        # transport ("bgr" reference-parity default / "gray" 3x-lighter).
+        # Tracking-plane transport ("bgr" reference-parity default /
+        # "gray" 3x-lighter).  Priority: explicit constructor argument >
+        # MESHFLOW_TRACK_PLANES env (benchmarks / CLI-less callers) >
+        # the config's own field.
         import os as _env_os
 
-        env_planes = _env_os.environ.get("MESHFLOW_TRACK_PLANES")
-        if env_planes and env_planes != config.track_planes:
+        if track_planes is None:
+            track_planes = _env_os.environ.get("MESHFLOW_TRACK_PLANES")
+        if track_planes and track_planes != config.track_planes:
             import dataclasses as _dc
 
-            config = _dc.replace(config, track_planes=env_planes)
+            config = _dc.replace(config, track_planes=track_planes)
         self.config = config
         self.visualize = config.visualize
         self._key = jax.random.PRNGKey(seed)
@@ -179,17 +183,21 @@ class MeshFlowStabilizer:
             timer.report()
             return result
 
+        # Gray transport ships single-plane frames to the device; the
+        # output video still needs BGR pixels, which then must come from
+        # the native host renderer.  Config-only precondition: fail here,
+        # before any decode/upload/compute is spent.
+        if config.track_planes == "gray" and (
+            not _host_render.available()
+            or _os.environ.get("MESHFLOW_RENDER", "auto") == "device"
+        ):
+            raise RuntimeError(
+                "track_planes='gray' requires the native host renderer "
+                "(scripts/build_native.sh, and not MESHFLOW_RENDER=device)."
+            )
         with timer.stage("decode"):
             frames_np, info = video_io.read_video(input_path)
         num_frames, h, w = frames_np.shape[:3]
-        if config.track_planes == "gray" and not _host_render.available():
-            # Gray transport ships single-plane frames to the device; the
-            # output video still needs BGR pixels, which then must come
-            # from the native host renderer.
-            raise RuntimeError(
-                "track_planes='gray' requires the native host renderer "
-                "(scripts/build_native.sh)."
-            )
         with timer.stage("host->device"):
             from meshflow_tpu import streaming as _streaming
 
@@ -325,8 +333,14 @@ class MeshFlowStabilizer:
             metric_src = _os.environ.get("MESHFLOW_METRIC_SRC", "device")
             crop_dev = jnp.asarray(crop_np, jnp.int32)
             if metric_src != "device":
+                from meshflow_tpu.streaming import to_track_planes
+
                 with timer.stage("host->device (cropped)"):
-                    cropped_dev = jnp.asarray(cropped_np)
+                    # Same plane layout as the unstab frames (gray mode
+                    # tracks single-plane on both sides of the pair).
+                    cropped_dev = jnp.asarray(
+                        to_track_planes(cropped_np, config)
+                    )
 
             timer_metrics = timer.stage("metrics")
             timer_metrics.__enter__()

@@ -106,13 +106,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    import os
-
     from meshflow_tpu.api import MeshFlowStabilizer
 
-    if args.track_planes != "bgr":
-        os.environ["MESHFLOW_TRACK_PLANES"] = args.track_planes
     stabilizer = MeshFlowStabilizer(
+        track_planes=args.track_planes,
         mesh_row_count=args.mesh_rows,
         mesh_col_count=args.mesh_cols,
         mesh_outlier_subframe_row_count=args.subframe_rows,

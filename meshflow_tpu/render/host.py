@@ -193,13 +193,21 @@ _SCRATCH: dict = {}
 def _scratch(key, shape, dtype):
     """Process-lifetime reused buffer (page faults on fresh chunk-scale
     allocations dominate the actual pixel work in this environment; see
-    _maps_host).  Single-threaded use per key: the streaming producer is
-    the only caller of the render path in a process."""
+    _maps_host).  The leading axis is grow-only — a shorter request gets a
+    contiguous view of the larger buffer, so the final (smaller) chunk of
+    a clip doesn't churn the allocation.  Single-threaded use per key:
+    the streaming producer is the only caller of the render path in a
+    process."""
     buf = _SCRATCH.get(key)
-    if buf is None or buf.shape != shape or buf.dtype != dtype:
+    if (
+        buf is None
+        or buf.dtype != dtype
+        or buf.shape[1:] != shape[1:]
+        or buf.shape[0] < shape[0]
+    ):
         buf = np.empty(shape, dtype)
         _SCRATCH[key] = buf
-    return buf
+    return buf[: shape[0]]
 
 
 def render_cropped_host(
@@ -225,20 +233,22 @@ def render_cropped_host(
         f, h, w = frames.shape[:3]
         left, top, right, bottom = (int(v) for v in crop)
         rh, rw = bottom - top + 1, right - left + 1
-        # Rasterize + remap per frame through reused scratch: a whole-chunk
-        # maps array would fault in ~16 MB/frame of fresh pages each call.
-        maps1 = _scratch("maps1", (1, 2, rh, rw), np.float32)
+        # One chunk-scale mf_maps call (its parallel_for rasterizes frames
+        # across all cores) into a persistent scratch: reuse avoids the
+        # ~20 us/page fault tax a fresh chunk allocation would pay on
+        # every call, while keeping the native layer's multithreading.
+        maps = _scratch("maps_chunk", (f, 2, rh, rw), np.float32)
         stab = _scratch("stab", (rh, rw, 3), np.uint8)
         border = tuple(int(c) for c in config.color_outside_image_area_bgr)
         if out is None:
             out = np.empty_like(frames)
+        _maps_host(
+            unstab_disp, stab_disp, h, w, config,
+            region=(left, top, right, bottom), out=maps,
+        )
         for i in range(f):
-            _maps_host(
-                unstab_disp[i : i + 1], stab_disp[i : i + 1], h, w, config,
-                region=(left, top, right, bottom), out=maps1,
-            )
             cv2.remap(
-                frames[i], maps1[0, 0], maps1[0, 1], cv2.INTER_LINEAR,
+                frames[i], maps[i, 0], maps[i, 1], cv2.INTER_LINEAR,
                 dst=stab,
                 borderMode=cv2.BORDER_CONSTANT, borderValue=border,
             )
@@ -282,21 +292,31 @@ def render_stabilized_host(
 
         frames = np.ascontiguousarray(frames, np.uint8)
         f, h, w = frames.shape[:3]
-        maps1 = _scratch("maps_full", (1, 2, h, w), np.float32)
+        # Sub-chunked maps: one mf_maps call per block keeps the native
+        # layer's frame-parallel rasterization without materializing the
+        # whole clip's maps (8 GB at 1080p x 494 frames); the scratch
+        # block is reused so pages fault once per process.
+        block = min(f, 32)
+        maps = _scratch("maps_full", (block, 2, h, w), np.float32)
         border = tuple(int(c) for c in config.color_outside_image_area_bgr)
         out = np.empty_like(frames)
         edges = np.empty((f, 4), np.int32)
-        for i in range(f):
+        for b0 in range(0, f, block):
+            b1 = min(b0 + block, f)
             _maps_host(
-                unstab_disp[i : i + 1], stab_disp[i : i + 1], h, w, config,
-                out=maps1,
+                unstab_disp[b0:b1], stab_disp[b0:b1], h, w, config,
+                out=maps[: b1 - b0],
             )
-            cv2.remap(
-                frames[i], maps1[0, 0], maps1[0, 1], cv2.INTER_LINEAR,
-                dst=out[i],
-                borderMode=cv2.BORDER_CONSTANT, borderValue=border,
-            )
-            edges[i] = _edges_from_maps(maps1[0, 0], maps1[0, 1], h, w)
+            for i in range(b0, b1):
+                cv2.remap(
+                    frames[i], maps[i - b0, 0], maps[i - b0, 1],
+                    cv2.INTER_LINEAR,
+                    dst=out[i],
+                    borderMode=cv2.BORDER_CONSTANT, borderValue=border,
+                )
+                edges[i] = _edges_from_maps(
+                    maps[i - b0, 0], maps[i - b0, 1], h, w
+                )
         crop = np.array(
             [
                 edges[:, 0].max(),

@@ -4,7 +4,11 @@ The reference materializes every frame of the clip up front
 (/root/reference/meshflowstabilizer.py:201-209) and again for each later
 stage, which caps clip length by host RAM.  Here only displacement fields,
 homographies, and keypoints — O(F) small tensors — persist across the clip;
-pixels flow through in fixed-size chunks twice:
+pixels flow through in fixed-size chunks twice.  (One opportunistic
+exception: when the whole clip fits a RAM-capped budget, pass 1's decoded
+batches are retained so pass 2 skips the second decode — see host_cache
+below.  Clips beyond the budget keep strict O(chunk) residency.)  The
+stages:
 
 pass 1 (decode -> device):  stride-(CHUNK-1) frame windows with a one-frame
     halo feed detection + the pair LK/RANSAC/propagation scan.  Velocities
@@ -286,13 +290,24 @@ def stabilize_streamed(
     # still force a sequential re-decode to reach the tail.  The reader
     # allocates a fresh array per read, so retaining the batches is
     # zero-copy.  Resumed runs (loaded motion) have no pass 1 to piggyback
-    # on; they decode in pass 2 as before.
-    cache_budget = int(
-        float(
-            __import__("os").environ.get("MESHFLOW_HOST_FRAME_CACHE_GB", 8)
-        )
-        * (1 << 30)
-    )
+    # on; they decode in pass 2 as before.  The default budget is capped
+    # at a quarter of physical RAM so the cache never turns the O(chunk)
+    # pipeline into an OOM on small hosts (explicit
+    # MESHFLOW_HOST_FRAME_CACHE_GB overrides the cap; 0 disables).
+    _os_mod = __import__("os")
+    env_cache = _os_mod.environ.get("MESHFLOW_HOST_FRAME_CACHE_GB")
+    if env_cache is not None:
+        cache_budget = int(float(env_cache) * (1 << 30))
+    else:
+        cache_budget = 8 << 30
+        try:
+            ram = (
+                _os_mod.sysconf("SC_PHYS_PAGES")
+                * _os_mod.sysconf("SC_PAGE_SIZE")
+            )
+            cache_budget = min(cache_budget, ram // 4)
+        except (ValueError, OSError, AttributeError):
+            pass
     host_cache: "list[np.ndarray] | None" = (
         []
         if loaded is None

@@ -14,7 +14,9 @@ its substages, each timed warm (min of 3 synced runs):
   mtrack    metric-pass Pallas LK (zero-init cv2 semantics)
 
 Run on the real TPU, idle chip:
-  python scripts/profile_1080p.py [clip] [window]
+  python scripts/profile_1080p.py [--gray] [clip] [window]
+
+--gray profiles the track_planes="gray" single-plane transport instead.
 """
 
 import os
@@ -30,11 +32,13 @@ import meshflow_tpu  # noqa: F401
 import jax
 import jax.numpy as jnp
 
-CLIP = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+GRAY = "--gray" in sys.argv
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+CLIP = _args[0] if _args else os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "..", "bench_data",
     "video-1-1080p.mp4",
 )
-WINDOW = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+WINDOW = int(_args[1]) if len(_args) > 1 else 32
 
 
 def main():
@@ -56,15 +60,19 @@ def main():
     from meshflow_tpu.utils.transfer import sync
     from meshflow_tpu.metrics.quality import cropping_and_distortion_scanned
 
-    config = MeshFlowConfig()
+    config = MeshFlowConfig(track_planes="gray" if GRAY else "bgr")
     reader = ChunkReader(CLIP)
     frames_np = reader.read(WINDOW)
     reader.close()
+    if GRAY:
+        from meshflow_tpu.streaming import to_track_planes
+
+        frames_np = to_track_planes(frames_np, config)
     h, w = frames_np.shape[1:3]
     key = jax.random.PRNGKey(0)
     max_level = config.lk_max_level(h, w)
-    print(f"window: {WINDOW} frames {w}x{h}, lk levels {max_level + 1}",
-          flush=True)
+    print(f"window: {WINDOW} frames {w}x{h} planes={config.track_planes}, "
+          f"lk levels {max_level + 1}", flush=True)
 
     t0 = time.perf_counter()
     frames = jnp.asarray(frames_np)

@@ -84,20 +84,18 @@ def main():
     crop = host_render.crop_edges_host(du, ds, h, w, config)
     record["crop"] = [int(c) for c in crop]
 
-    # ---- maps rasterization (C++), production pattern: per frame into a
-    # reused buffer (chunk-scale fresh allocations pay ~20 us/page faults)
+    # ---- maps rasterization (C++), production pattern: one chunk call
+    # (frame-parallel in native code) into a reused buffer (fresh
+    # chunk-scale allocations pay ~20 us/page in faults)
     left, top, right, bottom = (int(v) for v in crop)
     rh, rw = bottom - top + 1, right - left + 1
     maps = np.empty((n_frames, 2, rh, rw), np.float32)
-    maps1 = np.empty((1, 2, rh, rw), np.float32)
-    for _ in range(2):  # warm caches
+    for _ in range(2):  # warm pages + caches
         t0 = time.perf_counter()
-        for i in range(n_frames):
-            host_render._maps_host(
-                du[i : i + 1], ds[i : i + 1], h, w, config,
-                region=(left, top, right, bottom), out=maps1,
-            )
-            maps[i] = maps1[0]
+        host_render._maps_host(
+            du, ds, h, w, config,
+            region=(left, top, right, bottom), out=maps,
+        )
         t_maps = time.perf_counter() - t0
     per_frame("maps (C++ rasterize)", t_maps)
 
