@@ -325,7 +325,22 @@ class OnlineMeshFlowStabilizer:
 
         h, w = frame.shape[:2]
         cfg = self.config
-        device_frame = jnp.asarray(frame)
+        # Gray transport: the device only ever sees tracking planes (the
+        # stabilized output is warped from `frame` on the host), so
+        # track_planes="gray" uploads a third of the bytes per frame —
+        # upload is a large slice of online latency on bandwidth-bound
+        # links.  Requires the host renderer, like the offline pipelines.
+        if cfg.track_planes == "gray":
+            if not host_render.streaming_available():
+                raise RuntimeError(
+                    "track_planes='gray' requires the native host renderer "
+                    "(scripts/build_native.sh)."
+                )
+            from meshflow_tpu.streaming import to_track_planes
+
+            device_frame = jnp.asarray(to_track_planes(frame[None], cfg)[0])
+        else:
+            device_frame = jnp.asarray(frame)
         if self._state is None:
             omega = cfg.temporal_smoothing_radius
             zeros = jnp.zeros(

@@ -30,30 +30,38 @@ def main():
     n = int(argv[0]) if argv else 60
     frames, info = read_video("/root/reference/videos/video-1/video-1.m4v")
     frames = frames[:n]
-    stab = OnlineMeshFlowStabilizer()
 
-    latencies = []
-    for i, frame in enumerate(frames):
-        t0 = time.perf_counter()
-        out = stab.process(frame)
-        # out is numpy (device_to_host pull) => true synchronization
-        latencies.append(time.perf_counter() - t0)
-    warm = np.array(latencies[3:]) * 1000
+    from meshflow_tpu.config import MeshFlowConfig
+
     record = {
         "bench": "online low-latency mode, 640x360 (per-frame wall clock)",
-        "frames": len(warm),
-        "p50_ms": round(float(np.percentile(warm, 50)), 1),
-        "p90_ms": round(float(np.percentile(warm, 90)), 1),
-        "mean_ms": round(float(warm.mean()), 1),
-        "first_frame_ms": round(latencies[1] * 1000),
         "note": "~40 ms of each latency is this environment's tunnel RTT",
     }
-    print(
-        f"online latency over {len(warm)} frames: "
-        f"p50={record['p50_ms']}ms p90={record['p90_ms']}ms "
-        f"mean={record['mean_ms']}ms "
-        f"(first-frame incl compile: {record['first_frame_ms']}ms)"
-    )
+    for planes in ("bgr", "gray"):
+        stab = OnlineMeshFlowStabilizer(
+            config=MeshFlowConfig(track_planes=planes)
+        )
+        latencies = []
+        for frame in frames:
+            t0 = time.perf_counter()
+            stab.process(frame)
+            # output is numpy (device pull) => true synchronization
+            latencies.append(time.perf_counter() - t0)
+        warm = np.array(latencies[3:]) * 1000
+        record[planes] = {
+            "frames": len(warm),
+            "p50_ms": round(float(np.percentile(warm, 50)), 1),
+            "p90_ms": round(float(np.percentile(warm, 90)), 1),
+            "mean_ms": round(float(warm.mean()), 1),
+            "first_frame_ms": round(latencies[1] * 1000),
+        }
+        print(
+            f"online latency [{planes}] over {len(warm)} frames: "
+            f"p50={record[planes]['p50_ms']}ms "
+            f"p90={record[planes]['p90_ms']}ms "
+            f"mean={record[planes]['mean_ms']}ms "
+            f"(first-frame incl compile: {record[planes]['first_frame_ms']}ms)"
+        )
     if out_file:
         with open(out_file, "w") as f:
             json.dump(record, f, indent=1)

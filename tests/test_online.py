@@ -66,3 +66,25 @@ def test_online_state_bootstrap(rng):
     out1 = stab.process(frames[1])
     assert out1.shape == frames[1].shape
     assert np.isfinite(out1.astype(np.float64)).all()
+
+
+def test_online_gray_transport(rng):
+    """track_planes='gray' ships single-plane frames to the device; the
+    stabilized output is still full BGR (host warp from the input frame)."""
+    from meshflow_tpu.render import host as host_render
+
+    if not host_render.streaming_available():
+        pytest.skip("native streaming renderer not built")
+    config = MeshFlowConfig(
+        max_features_per_subframe=32,
+        ransac_iterations=32,
+        lk_max_iterations=5,
+        track_planes="gray",
+    )
+    frames, _ = _clip(rng, 4)
+    stab = OnlineMeshFlowStabilizer(config=config)
+    outs = [stab.process(f) for f in frames]
+    np.testing.assert_array_equal(outs[0], frames[0])
+    for o in outs[1:]:
+        assert o.shape == frames[0].shape and o.dtype == np.uint8
+        assert np.isfinite(o.astype(np.float64)).all()
