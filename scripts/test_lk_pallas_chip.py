@@ -36,10 +36,19 @@ def reflect_pad(img, pad):
 
 
 def main():
+    # C=3 is the reference-parity BGR mode; C=1 exercises the
+    # track_planes="gray" single-plane path through the same kernel.
+    ok = all(run_case(c) for c in (3, 1))
+    print("PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+def run_case(C):
     rng = np.random.default_rng(7)
-    F, S, C, K = 3, 2, 3, 64
+    F, S, K = 3, 2, 64
     TH, TW = 90, 160
     max_level = 2
+    print(f"---- C={C}")
 
     # smooth trackable frames: blurred noise, shifted per frame
     base = rng.integers(0, 256, (C, TH + 40, TW + 40)).astype(np.float32)
@@ -121,8 +130,8 @@ def main():
             f"p95 {np.quantile(dist[both], 0.95):.4f} max {dist[both].max():.4f}"
         )
     ok = (xla_st == pst)[v].mean() > 0.97 and np.quantile(dist[both], 0.95) < 0.1
-    print("PASS" if ok else "FAIL")
-    return 0 if ok else 1
+    print("case PASS" if ok else "case FAIL")
+    return ok
 
 
 if __name__ == "__main__":
