@@ -258,6 +258,7 @@ extern "C" MfWriter* mf_writer_open(const char* path, int w, int h,
     wr->enc->width = w;
     wr->enc->height = h;
     wr->enc->pix_fmt = AV_PIX_FMT_YUV420P;
+    wr->enc->thread_count = 0;  // auto (matches the decoder; 1 core = 1)
     AVRational tb = av_d2q(1.0 / (fps > 0 ? fps : 30.0), 100000);
     wr->enc->time_base = tb;
     wr->stream->time_base = tb;
