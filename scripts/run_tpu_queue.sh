@@ -1,0 +1,69 @@
+#!/bin/bash
+# Unattended TPU bench queue for this environment's tunneled chip.
+#
+# The axon tunnel goes down for hours at a time (jax.devices() hangs
+# rather than erroring).  This runner waits for the tunnel to answer a
+# bounded probe, then runs the round's blocked benchmarks one at a time
+# (the chip is shared: never two timed jobs at once), logging each to
+# /tmp/tpu_queue/<step>.log and appending one status line per step to
+# /tmp/tpu_queue/status.txt.
+#
+# Usage: bash scripts/run_tpu_queue.sh   (idempotent; skips steps whose
+# output artifact already exists unless FORCE=1)
+
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/tpu_queue
+STATUS=/tmp/tpu_queue/status.txt
+note() { echo "[$(date -u +%H:%M:%S)] $*" | tee -a "$STATUS"; }
+
+note "queue start"
+
+# 1. Wait for the tunnel: a fresh process listing devices answers in
+# seconds when healthy and hangs when the tunnel is down.
+while true; do
+  if timeout 180 python - <<'EOF' >/tmp/tpu_queue/probe.log 2>&1
+import jax
+d = jax.devices()
+assert d and d[0].platform != "cpu", d
+print(d)
+EOF
+  then
+    note "tunnel UP: $(tail -1 /tmp/tpu_queue/probe.log)"
+    break
+  else
+    note "tunnel still down; sleeping 300s"
+    sleep 300
+  fi
+done
+
+run_step() {
+  local name="$1" tmo="$2" artifact="$3"; shift 3
+  if [ -n "$artifact" ] && [ -e "$artifact" ] && [ "${FORCE:-0}" != 1 ]; then
+    note "SKIP $name (artifact $artifact exists)"
+    return 0
+  fi
+  note "START $name"
+  if timeout "$tmo" "$@" >"/tmp/tpu_queue/$name.log" 2>&1; then
+    note "OK    $name"
+  else
+    note "FAIL  $name (rc=$?) — see /tmp/tpu_queue/$name.log"
+  fi
+}
+
+# 2. The queue, highest judged value first.  Each step is its own
+# process (pays the ~3-min per-process warmup once).
+run_step bench_1080p   7200 BENCH_1080P.json \
+  python scripts/bench_1080p.py --out BENCH_1080P.json
+run_step bench_online  2400 BENCH_ONLINE.json \
+  python scripts/bench_online.py 120 --out BENCH_ONLINE.json
+run_step bench_1080p_mesh64 10800 BENCH_1080P_MESH64.json \
+  python scripts/bench_1080p.py --mesh64 --out BENCH_1080P_MESH64.json
+run_step measure_upload 1800 "" \
+  python scripts/measure_upload.py
+run_step lk_chip_parity 3600 "" \
+  python scripts/test_lk_pallas_chip.py
+run_step bench_self    3600 "" \
+  python bench.py
+
+note "queue done"
