@@ -139,6 +139,34 @@ class BackwardMap(NamedTuple):
     covered: jnp.ndarray  # (H, W) bool
 
 
+def use_bmap_pallas(
+    frame_height: int, frame_width: int, config: MeshFlowConfig
+) -> bool:
+    """Route backward_map through the Pallas kernel (kernels/bmap_pallas).
+
+    MESHFLOW_BMAP=xla forces the one-hot XLA path, =pallas forces the
+    kernel.  auto engages the kernel on TPU backends at >= ~1 MP frames,
+    where the XLA one-hot's HBM materialization binds and no reference
+    parity contract exists (the demo suite is 640x360; the kernel can
+    differ from the XLA path by ~1 ulp in the f32 divides).  Like the
+    tracker choice in metrics.quality, this resolves once at trace time.
+    """
+    import os
+
+    mode = os.environ.get("MESHFLOW_BMAP", "auto")
+    if mode == "xla":
+        return False
+    if mode == "pallas":
+        return True
+    return (
+        jax.default_backend() not in ("cpu",)
+        and frame_height * frame_width >= 1_000_000
+        and frame_width % 8 == 0
+        and config.mesh_row_count <= 129
+        and config.mesh_col_count <= 129
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("config", "frame_height", "frame_width")
 )
@@ -150,6 +178,12 @@ def backward_map(
     frame_width: int,
 ) -> BackwardMap:
     """Per-pixel stabilized->unstabilized map for one frame."""
+    if use_bmap_pallas(frame_height, frame_width, config):
+        from meshflow_tpu.kernels.bmap_pallas import backward_map_pallas
+
+        return backward_map_pallas(
+            stab_pos, unstab_grid, config, frame_height, frame_width
+        )
     rc, cc = config.mesh_row_count, config.mesh_col_count
     h_table = cell_inverse_homographies(stab_pos, unstab_grid, config)
 
