@@ -51,14 +51,27 @@ run_step() {
   fi
 }
 
-# 2. The queue, highest judged value first.  Each step is its own
-# process (pays the ~3-min per-process warmup once).
+# 2. The queue.  Cheap diagnostics first (they steer the round's kernel
+# work), then the judged artifacts.  BENCH_1080P.json is measured with
+# the chip-validated XLA backward map; the new Pallas backward-map
+# kernel is validated (bmap_parity) and benched to a separate artifact
+# so the judged number never depends on an unvalidated kernel compile.
+run_step probe_dynslice 900 "" \
+  python scripts/probe_aligned_dynslice.py
+run_step bmap_parity  3600 /tmp/tpu_queue/bmap_parity.ok \
+  bash -c 'python scripts/test_bmap_chip.py && touch /tmp/tpu_queue/bmap_parity.ok'
+run_step profile_preproc 3600 "" \
+  python scripts/profile_preproc.py
 run_step bench_1080p   7200 BENCH_1080P.json \
-  python scripts/bench_1080p.py --out BENCH_1080P.json
+  env MESHFLOW_BMAP=xla python scripts/bench_1080p.py --out BENCH_1080P.json
 run_step bench_online  2400 BENCH_ONLINE.json \
   python scripts/bench_online.py 120 --out BENCH_ONLINE.json
+if [ -e /tmp/tpu_queue/bmap_parity.ok ]; then
+  run_step bench_1080p_bmap 7200 BENCH_1080P_BMAP.json \
+    env MESHFLOW_BMAP=pallas python scripts/bench_1080p.py --out BENCH_1080P_BMAP.json
+fi
 run_step bench_1080p_mesh64 10800 BENCH_1080P_MESH64.json \
-  python scripts/bench_1080p.py --mesh64 --out BENCH_1080P_MESH64.json
+  env MESHFLOW_BMAP=xla python scripts/bench_1080p.py --mesh64 --out BENCH_1080P_MESH64.json
 run_step measure_upload 1800 "" \
   python scripts/measure_upload.py
 run_step lk_chip_parity 3600 "" \
