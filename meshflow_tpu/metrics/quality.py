@@ -69,7 +69,7 @@ def cropping_and_distortion_scanned(
     surviving feature population away from the reference's zero-init cv2
     semantics (see the comment at the tracker call)."""
     from meshflow_tpu.motion.pipeline import (
-        frame_tiles_f32,
+        pack_tile_planes_u8,
         packed_tile_pyramids,
         unpack_level,
         use_pallas_lk,
@@ -90,11 +90,11 @@ def cropping_and_distortion_scanned(
         offsets = jnp.asarray(
             subframe_offsets(config, frame_height, frame_width), jnp.float32
         )
-        planes_un, dims = lk_pallas.pack_tile_planes(
-            frame_tiles_f32(unstab_frames, config), max_level
+        planes_un, dims = pack_tile_planes_u8(
+            unstab_frames, config, max_level
         )
-        planes_cr, _ = lk_pallas.pack_tile_planes(
-            frame_tiles_f32(cropped_frames, config), max_level
+        planes_cr, _ = pack_tile_planes_u8(
+            cropped_frames, config, max_level
         )
         local_pts = unstab_keypoints.positions - offsets[None, :, None, :]
         # Measured (r2, video-1): seeding the tracker at the analytic

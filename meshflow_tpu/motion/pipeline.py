@@ -355,6 +355,34 @@ def frame_tiles_f32(frames_bgr: jnp.ndarray, config: MeshFlowConfig):
     return jnp.swapaxes(tiles, 1, 2)  # (F, S, C, th, tw)
 
 
+def pack_tile_planes_u8(
+    frames: jnp.ndarray, config: MeshFlowConfig, max_level: int
+):
+    """u8-native tile-plane packing for the Pallas tracker.
+
+    Bit-identical to lk_pallas.pack_tile_planes(frame_tiles_f32(...))
+    (pyramid level 0 IS the input, so its pad/cast never needs the f32
+    round trip), but the level-0 split/pad/store stays uint8 — 4x less
+    HBM traffic on the full-resolution level, which dominates packing at
+    1080p.  f32 enters only as the pyrDown blur input (fused by XLA).
+
+    frames: (F, H, W, C) uint8 -> (planes, dims) like pack_tile_planes.
+    """
+    from meshflow_tpu.kernels.lk_pallas import reflect_pad_level
+    from meshflow_tpu.kernels.pyramid import pyr_down
+
+    chans = jnp.moveaxis(frames, -1, 1)  # u8 (F, C, H, W)
+    tiles8 = jnp.swapaxes(split_tiles(chans, config), 1, 2)  # (F,S,C,th,tw)
+    planes = [reflect_pad_level(tiles8)]
+    dims = [(tiles8.shape[-2], tiles8.shape[-1])]
+    cur = tiles8.astype(jnp.float32)
+    for _ in range(max_level):
+        cur = pyr_down(cur)
+        planes.append(reflect_pad_level(cur).astype(jnp.uint8))
+        dims.append((cur.shape[-2], cur.shape[-1]))
+    return tuple(planes), tuple(dims)
+
+
 @functools.partial(jax.jit, static_argnames=("config", "frame_height", "frame_width"))
 def track_pairs_pallas(
     keypoints,
@@ -373,8 +401,7 @@ def track_pairs_pallas(
         grid.subframe_offsets(config, frame_height, frame_width), jnp.float32
     )  # (S, 2) [x, y]
     max_level = config.lk_max_level(frame_height, frame_width)
-    tiles = frame_tiles_f32(frames_bgr, config)
-    planes, dims = lk_pallas.pack_tile_planes(tiles, max_level)
+    planes, dims = pack_tile_planes_u8(frames_bgr, config, max_level)
     local_pts = keypoints.positions - offsets[None, :, None, :]
     late_local, tracked = lk_pallas.lk_track_pairs_pallas(
         planes,

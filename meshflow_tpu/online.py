@@ -90,12 +90,9 @@ def online_prepare(
     gray = frame[..., 0] if frame.shape[-1] == 1 else bgr_to_gray(frame)
     kps = detect_keypoints(gray, config, frame_height, frame_width)
     if _use_pallas():
-        from meshflow_tpu.kernels import lk_pallas
-        from meshflow_tpu.motion.pipeline import frame_tiles_f32
+        from meshflow_tpu.motion.pipeline import pack_tile_planes_u8
 
-        planes, _ = lk_pallas.pack_tile_planes(
-            frame_tiles_f32(frame[None], config), max_level
-        )
+        planes, _ = pack_tile_planes_u8(frame[None], config, max_level)
         return kps, planes
     return kps, tile_pyramid(frame, config, max_level)
 

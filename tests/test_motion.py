@@ -148,3 +148,31 @@ def test_stage2_parity_with_reference(rng):
     homos = np.asarray(est.homographies)
     herr = np.abs(homos[:, :2, 2] - ref_homos[:, :2, 2]).max()
     assert herr < 0.2, f"translation err {herr}"
+
+
+def test_pack_tile_planes_u8_bit_identical():
+    """The u8-native packer must match the f32-tiles packer bit for bit
+    (pyramid level 0 is the input; pad/cast commute with the u8 cast)."""
+    import jax.numpy as jnp
+
+    from meshflow_tpu.config import MeshFlowConfig
+    from meshflow_tpu.kernels import lk_pallas
+    from meshflow_tpu.motion.pipeline import (
+        frame_tiles_f32,
+        pack_tile_planes_u8,
+    )
+
+    rng = np.random.default_rng(3)
+    config = MeshFlowConfig()
+    for c in (3, 1):
+        frames = jnp.asarray(
+            rng.integers(0, 256, size=(3, 72, 96, c), dtype=np.uint8)
+        )
+        ref_planes, ref_dims = lk_pallas.pack_tile_planes(
+            frame_tiles_f32(frames, config), 2
+        )
+        planes, dims = pack_tile_planes_u8(frames, config, 2)
+        assert dims == ref_dims
+        for a, b in zip(planes, ref_planes):
+            assert a.dtype == b.dtype and a.shape == b.shape
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
