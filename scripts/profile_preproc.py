@@ -12,9 +12,9 @@ restructurings against the production pack:
   split_u8    split_tiles on u8 channels (4x less traffic)
   pyr_l<k>    each pyrDown level
   pad+cast    reflect_pad_level + uint8 cast per level
-  pack        production frame_tiles_f32 + pack_tile_planes (one jit)
-  pack_u8     candidate: u8-native level-0 (pad/cast in u8, f32 only
-              feeding the level-1 blur), bit-compared to `pack`
+  pack        legacy frame_tiles_f32 + pack_tile_planes (one jit)
+  pack_u8     production pack_tile_planes_u8 (u8-native level 0),
+              bit-compared to `pack`
   lk_only     lk_track_pairs_pallas on prebuilt planes (pure kernel)
   lk_l<k>     one lk_level_pallas call per pyramid level
 
