@@ -74,7 +74,7 @@ def _bmap_kernel(
     ly_ref,  # (LANE, 1) f32 row lines (inf padded)
     fp_ref,  # (48, cells_pad) f32: Dekker [hi|mid|lo] x (9 h + 4 bbox + 3 pad)
     cand_ref,  # (432, cells_pad) f32: 9 candidate-rolled copies of fp
-    out_ref,  # (4, 1, bp) f32: [map_x, map_y, covered, key]
+    out_ref,  # (1, 4, bp) f32: [map_x, map_y, covered, key]
     *,
     rows_blk: int,
     width: int,
@@ -171,10 +171,11 @@ def _bmap_kernel(
             best_qy = jnp.where(take, cqy, best_qy)
 
     covered = (best_key >= 0.0).astype(jnp.float32)
-    out_ref[0] = best_qx
-    out_ref[1] = best_qy
-    out_ref[2] = covered
-    out_ref[3] = best_key
+    # Mosaic requires the last two block dims to be (8,128)-divisible or
+    # full-size, so the block is (1, 4, bp) with channels on dim -2.
+    out_ref[...] = jnp.concatenate(
+        [best_qx, best_qy, covered, best_key], axis=0
+    )[None]
 
 
 def _static_tables(config: MeshFlowConfig, frame_height: int, frame_width: int):
@@ -287,16 +288,16 @@ def backward_map_pallas(
             whole((432, cells_pad)),
         ],
         out_specs=pl.BlockSpec(
-            (4, 1, bp), lambda b: (0, b, 0), memory_space=pltpu.VMEM
+            (1, 4, bp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((4, nb, bp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, 4, bp), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024
         ),
         interpret=interpret,
     )(jnp.asarray(lx), jnp.asarray(ly), fp_t, cand_t)
 
-    out = out.reshape(4, frame_height, frame_width)
+    out = out.transpose(1, 0, 2).reshape(4, frame_height, frame_width)
     return BackwardMap(
         map_x=out[0], map_y=out[1], covered=out[2] > 0.5
     )
