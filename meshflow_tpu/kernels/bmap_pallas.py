@@ -21,8 +21,15 @@ Exactness: the same arithmetic as the XLA path — identical bf16 Dekker
 3-split tables contracted by exact 0/1 one-hots (each output is a single
 product, so accumulation order is irrelevant), summed in the same
 ((hi + mid) + lo) order, then the same f32 apply/membership formulas.
-Residual differences are at most ~1 ulp from f32 division lowering,
-so the production router keeps the XLA path at parity-contract
+Interpret mode is bit-identical to the XLA path (tests/test_bmap_pallas).
+On hardware, Mosaic's f32 divide/FMA lowering differs from XLA's by
+~1 ulp, and the map takes discrete decisions (cell-of-pixel, bbox
+membership) on those values: measured ~0.4% of pixels near cell seams
+resolve to a neighboring cell's homography (scripts/test_bmap_chip.py
+gates crop-edge equality, p99.5 map agreement, and rendered-frame PSNR
+instead of bitwise maps; the seam choice is ambiguous in the reference's
+own last-cell-wins compositing, meshflowstabilizer.py:1060-1061).  The
+production router therefore keeps the XLA path at parity-contract
 resolutions (the 640x360 demo suite) and engages this kernel where the
 one-hot traffic actually binds (>= ~1 MP frames; see
 render.stabilize.use_bmap_pallas).
