@@ -212,7 +212,10 @@ def _extract_windows(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("win_size", "max_iters", "eps", "min_eig_threshold")
+    jax.jit,
+    static_argnames=(
+        "win_size", "max_iters", "eps", "min_eig_threshold", "collect_used",
+    ),
 )
 def lk_track(
     prev_levels: Sequence[PaddedLevel],
@@ -223,6 +226,7 @@ def lk_track(
     max_iters: int = 30,
     eps: float = 0.01,
     min_eig_threshold: float = 1e-4,
+    collect_used: bool = False,
 ):
     """Track points from the prev pyramid into the next pyramid.
 
@@ -235,6 +239,11 @@ def lk_track(
     tracking keeps.
     Returns (next_points (N, 2) float32, status (N,) bool).  Invalid input
     slots come back with status False and their input position.
+
+    collect_used=True additionally returns an (N, num_levels) int32 array
+    of solver iterations consumed per feature per level (level 0 last) —
+    a scheduling diagnostic for the blocked Pallas tracker, not used in
+    production paths.
     """
     half = (win_size - 1) * 0.5
     max_level = len(prev_levels) - 1
@@ -246,6 +255,7 @@ def lk_track(
 
     status = valid
     next_pts = points / (2.0**max_level)
+    used_levels = []
 
     for level in range(max_level, -1, -1):
         plevel = prev_levels[level]
@@ -413,7 +423,7 @@ def lk_track(
             )
             return (corner_end, done_end, st_end, used_end), None
 
-        (next_corner, _, status, _), _ = jax.lax.scan(
+        (next_corner, _, status, used_l), _ = jax.lax.scan(
             solve_round,
             (
                 next_corner,
@@ -424,7 +434,10 @@ def lk_track(
             None,
             length=3,
         )
+        used_levels.append(used_l)
         next_pts = next_corner + half
 
     out_pts = jnp.where(valid[:, None], next_pts, points)
+    if collect_used:
+        return out_pts, status & valid, jnp.stack(used_levels, axis=-1)
     return out_pts, status & valid
