@@ -34,7 +34,7 @@ import jax.numpy as jnp
 CLIP = "/root/reference/videos/video-1/video-1.m4v"
 WINDOW = 24
 FRAMES_TO_MEASURE = (0, 8, 16)
-BLOCK = 16
+BLOCK = int(__import__("os").environ.get("SKEW_BLOCK", "16"))
 
 
 def main():
