@@ -56,12 +56,12 @@ run_step() {
 # the chip-validated XLA backward map; the new Pallas backward-map
 # kernel is validated (bmap_parity) and benched to a separate artifact
 # so the judged number never depends on an unvalidated kernel compile.
-run_step probe_dynslice 900 "" \
-  python scripts/probe_aligned_dynslice.py
+run_step probe_dynslice 900 /tmp/tpu_queue/probe_dynslice.ok \
+  bash -c 'python scripts/probe_aligned_dynslice.py && touch /tmp/tpu_queue/probe_dynslice.ok'
 run_step bmap_parity  3600 /tmp/tpu_queue/bmap_parity.ok \
   bash -c 'python scripts/test_bmap_chip.py && touch /tmp/tpu_queue/bmap_parity.ok'
-run_step profile_preproc 3600 "" \
-  python scripts/profile_preproc.py
+run_step profile_preproc 3600 /tmp/tpu_queue/profile_preproc.ok \
+  bash -c 'python scripts/profile_preproc.py && touch /tmp/tpu_queue/profile_preproc.ok'
 run_step bench_1080p   7200 BENCH_1080P.json \
   env MESHFLOW_BMAP=xla python scripts/bench_1080p.py --out BENCH_1080P.json
 run_step bench_online  2400 BENCH_ONLINE.json \
@@ -72,10 +72,10 @@ if [ -e /tmp/tpu_queue/bmap_parity.ok ]; then
 fi
 run_step bench_1080p_mesh64 10800 BENCH_1080P_MESH64.json \
   env MESHFLOW_BMAP=xla python scripts/bench_1080p.py --mesh64 --out BENCH_1080P_MESH64.json
-run_step measure_upload 1800 "" \
-  python scripts/measure_upload.py
-run_step lk_chip_parity 3600 "" \
-  python scripts/test_lk_pallas_chip.py
+run_step measure_upload 1800 /tmp/tpu_queue/measure_upload.ok \
+  bash -c 'python scripts/measure_upload.py && touch /tmp/tpu_queue/measure_upload.ok'
+run_step lk_chip_parity 3600 /tmp/tpu_queue/lk_chip_parity.ok \
+  bash -c 'python scripts/test_lk_pallas_chip.py && touch /tmp/tpu_queue/lk_chip_parity.ok'
 run_step bench_self    3600 "" \
   python bench.py
 
