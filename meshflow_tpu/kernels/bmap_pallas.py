@@ -88,6 +88,7 @@ def _bmap_kernel(
     height: int,
     rc: int,
     cc: int,
+    debug_iters: int = 0,
 ):
     bp = rows_blk * width
     rb = pl.program_id(0)
@@ -137,17 +138,60 @@ def _bmap_kernel(
 
     # Fixed-point cell search (3 iterations, like the XLA path).
     qx, qy = px, py
-    for _ in range(3):
+    fp_iters = debug_iters if 0 < debug_iters < 10 else 3
+    for _ in range(fp_iters):
         row, col = cell_of(qx, qy)
         h = select(row * cc + col, fp_ref[...], 16)
         qx, qy = apply_h(h, px, py)
     row0, col0 = cell_of(qx, qy)
+    if 0 < debug_iters < 10:
+        # Diagnostic mode (scripts/debug_bmap_chip.py): expose the
+        # fixed-point state after `debug_iters` iterations.
+        out_ref[...] = jnp.concatenate(
+            [
+                qx,
+                qy,
+                row0.astype(jnp.float32),
+                col0.astype(jnp.float32),
+            ],
+            axis=0,
+        )[None]
+        return
     base = row0 * cc + col0
 
     # One fused selection for all 9 candidates (rolled tables), then the
     # reference's compositing: strictly inside the 1px-expanded bbox,
     # highest row-major cell index wins.
     acc9 = select(base, cand_ref[...], 9 * 16)  # (144, bp)
+
+    if debug_iters >= 10:
+        # Diagnostic: candidate (debug_iters - 10)'s application.
+        cd = debug_iters - 10
+        drs = (-1, 0, 1)
+        h = acc9[cd * 16 : cd * 16 + 16]
+        rowc = row0 + drs[cd // 3]
+        colc = col0 + drs[cd % 3]
+        valid = (rowc >= 0) & (rowc < rc) & (colc >= 0) & (colc < cc)
+        cqx, cqy = apply_h(h, px, py)
+        left, right = h[9:10], h[10:11]
+        top, bottom = h[11:12], h[12:13]
+        member = (
+            (cqx > left - 1.0)
+            & (cqx < right + 1.0)
+            & (cqy > top - 1.0)
+            & (cqy < bottom + 1.0)
+        )
+        key = (rowc * cc + colc).astype(jnp.float32)
+        out_ref[...] = jnp.concatenate(
+            [
+                cqx,
+                cqy,
+                member.astype(jnp.float32),
+                jnp.where(valid, key, -2.0),
+            ],
+            axis=0,
+        )[None]
+        return
 
     best_key = jnp.full((1, bp), _NEG_BIG, jnp.float32)
     best_qx = jnp.full((1, bp), float(width + 1), jnp.float32)
@@ -225,7 +269,13 @@ def _rows_per_block(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "frame_height", "frame_width", "interpret"),
+    static_argnames=(
+        "config",
+        "frame_height",
+        "frame_width",
+        "interpret",
+        "debug_iters",
+    ),
 )
 def backward_map_pallas(
     stab_pos: jnp.ndarray,
@@ -234,6 +284,7 @@ def backward_map_pallas(
     frame_height: int,
     frame_width: int,
     interpret: bool = False,
+    debug_iters: int = 0,
 ):
     """Pallas twin of render.stabilize.backward_map (same outputs)."""
     from meshflow_tpu.render.stabilize import (
@@ -278,6 +329,7 @@ def backward_map_pallas(
         height=frame_height,
         rc=rc,
         cc=cc,
+        debug_iters=debug_iters,
     )
 
     def whole(shape):
@@ -305,6 +357,8 @@ def backward_map_pallas(
     )(jnp.asarray(lx), jnp.asarray(ly), fp_t, cand_t)
 
     out = out.transpose(1, 0, 2).reshape(4, frame_height, frame_width)
+    if debug_iters:
+        return out  # (4, H, W): [qx, qy, row, col] after debug_iters
     return BackwardMap(
         map_x=out[0], map_y=out[1], covered=out[2] > 0.5
     )
