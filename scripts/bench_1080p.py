@@ -168,6 +168,13 @@ def main():
         config = MeshFlowConfig(mesh_row_count=64, mesh_col_count=64)
         label = "1080p30 64x64 mesh stress"
 
+    def checkpoint(results):
+        # Partial-result dump after every section: round 3 lost ~35 min
+        # of completed cold/warm numbers to a crash in a later section.
+        if out_file:
+            with open(out_file + ".partial", "w") as f:
+                json.dump(results, f, indent=1)
+
     stabilizer = MeshFlowStabilizer(config=config)
     # 9x the pixels of the demo clips: smaller frame chunks keep each
     # device execution under the worker's kill threshold, and a single
@@ -190,6 +197,7 @@ def main():
                 for name, seconds in stabilizer.last_timer.stages
             },
         }
+        checkpoint(results)
 
     # track_planes="gray": single-plane transport/tracking (3x less wire
     # and pyramid work; --track-planes gray on the CLI).  Same clip, same
@@ -212,6 +220,7 @@ def main():
                 for name, seconds in gray_stab.last_timer.stages
             },
         }
+        checkpoint(results)
 
     # Device-only: upload once (untimed), then cold + warm compute passes.
     reader = ChunkReader(CLIP)
@@ -239,6 +248,7 @@ def main():
         "note": "frames HBM-resident; motion+solve+render+metrics on "
         "device; no wire, no host pixel work",
     }
+    checkpoint(results)
 
     # Device-only, gray planes (resident single-plane frames).  Free the
     # BGR copy first: 3 GB + 1 GB of resident frames plus the pass's
