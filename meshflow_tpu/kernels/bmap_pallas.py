@@ -68,10 +68,21 @@ def _dekker3(x: jnp.ndarray) -> jnp.ndarray:
     hi + mid + lo reconstructs x to ~2^-24 relative; identical to the
     split in render.stabilize._apply_h_table_block so the kernel's
     selected coefficients match the XLA path bit for bit.
+
+    This runs in XLA (trace time, outside the kernel), so each bf16
+    convert hides behind an optimization_barrier: XLA's algebraic
+    simplifier cancels `x - f32(bf16(x))` to ZERO (it treats the convert
+    round-trip as identity), which silently zeroed mid/lo and made the
+    whole map bf16-precise — the round-3 chip-gate failure's root cause
+    (see render.stabilize._apply_h_table_block).
     """
-    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    hi = jax.lax.optimization_barrier(x.astype(jnp.bfloat16)).astype(
+        jnp.float32
+    )
     rem = x - hi
-    mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
+    mid = jax.lax.optimization_barrier(rem.astype(jnp.bfloat16)).astype(
+        jnp.float32
+    )
     lo = (rem - mid).astype(jnp.bfloat16).astype(jnp.float32)
     return jnp.concatenate([hi, mid, lo], axis=1)
 
@@ -164,7 +175,7 @@ def _bmap_kernel(
     # highest row-major cell index wins.
     acc9 = select(base, cand_ref[...], 9 * 16)  # (144, bp)
 
-    if debug_iters >= 10:
+    if 10 <= debug_iters < 20:
         # Diagnostic: candidate (debug_iters - 10)'s application.
         cd = debug_iters - 10
         drs = (-1, 0, 1)
@@ -190,6 +201,26 @@ def _bmap_kernel(
                 jnp.where(valid, key, -2.0),
             ],
             axis=0,
+        )[None]
+        return
+
+    if debug_iters >= 20:
+        # Diagnostic: candidate h via the rolled cand table vs via the
+        # (chip-proven-exact) fp table at the same explicit cell index —
+        # a same-kernel A/B that isolates the cand_ref path.
+        cd = debug_iters - 20
+        drs = (-1, 0, 1)
+        h = acc9[cd * 16 : cd * 16 + 16]
+        rowc = row0 + drs[cd // 3]
+        colc = col0 + drs[cd % 3]
+        cellc = (
+            jnp.clip(rowc, 0, rc - 1) * cc + jnp.clip(colc, 0, cc - 1)
+        )
+        h2 = select(cellc, fp_ref[...], 16)
+        cqx, cqy = apply_h(h, px, py)
+        cqx2, cqy2 = apply_h(h2, px, py)
+        out_ref[...] = jnp.concatenate(
+            [cqx, cqy, cqx2, cqy2], axis=0
         )[None]
         return
 

@@ -78,25 +78,37 @@ def _apply_h_table_block(
     # materialization-bound at 1080p); bf16 halves it.  Selection stays
     # exact: one-hot entries are 0/1 in any dtype, and the f32 h table is
     # Dekker-split into three bf16 terms (hi + mid + lo reconstructs all
-    # 24 mantissa bits), each contracted against the SAME bf16 one-hot —
-    # a one-hot row picks exactly one (hi, mid, lo) triple whose f32 sum
-    # is the original coefficient to ~2^-24 relative.
+    # 24 mantissa bits) contracted against the bf16 one-hot — a one-hot
+    # row picks exactly one (hi, mid, lo) triple whose f32 sum is the
+    # original coefficient to ~2^-24 relative.
+    #
+    # The split terms MUST hide behind optimization_barriers: XLA's
+    # algebraic simplifier treats the f32->bf16->f32 convert round-trip
+    # as an identity and cancels `hf - f32(bf16(hf))` to ZERO, so without
+    # the barriers h_mid/h_lo fold to 0 and the whole map runs at bf16
+    # precision — a measured ~1 px error at 98.6% of pixels
+    # (scripts/debug_bmap_oracle_cpu.py, round 4) that also failed the
+    # Pallas kernel's chip parity gate against this path.  The three
+    # terms ride ONE dot against a (cells, 27) [hi|mid|lo] concat (three
+    # separate dots invite the dot(a,x)+dot(a,y) -> dot(a,x+y) rewrite,
+    # whose operand sum in bf16 loses mid/lo the same way) and are summed
+    # from the f32 output behind a final barrier.
     onehot = (
         cell_ids[:, None] == jnp.arange(cells, dtype=jnp.int32)[None, :]
     ).astype(jnp.bfloat16)
     hf = h_table.reshape(cells, 9)
-    h_hi = hf.astype(jnp.bfloat16)
+    h_hi = jax.lax.optimization_barrier(hf.astype(jnp.bfloat16))
     rem = hf - h_hi.astype(jnp.float32)
-    h_mid = rem.astype(jnp.bfloat16)
+    h_mid = jax.lax.optimization_barrier(rem.astype(jnp.bfloat16))
     h_lo = (rem - h_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    h27 = jnp.concatenate([h_hi, h_mid, h_lo], axis=1)  # (cells, 27)
     dims = (((1,), (0,)), ((), ()))
-
-    def bdot(t):
-        return jax.lax.dot_general(
-            onehot, t, dims, preferred_element_type=jnp.float32
+    out27 = jax.lax.optimization_barrier(
+        jax.lax.dot_general(
+            onehot, h27, dims, preferred_element_type=jnp.float32
         )
-
-    hflat = bdot(h_hi) + bdot(h_mid) + bdot(h_lo)  # (P, 9)
+    )
+    hflat = out27[:, :9] + out27[:, 9:18] + out27[:, 18:27]  # (P, 9)
     d = hflat[:, 6] * px + hflat[:, 7] * py + hflat[:, 8]
     d = jnp.where(jnp.abs(d) < 1e-10, 1e-10, d)
     qx = (hflat[:, 0] * px + hflat[:, 1] * py + hflat[:, 2]) / d
@@ -145,11 +157,14 @@ def use_bmap_pallas(
     """Route backward_map through the Pallas kernel (kernels/bmap_pallas).
 
     MESHFLOW_BMAP=xla forces the one-hot XLA path, =pallas forces the
-    kernel.  auto engages the kernel on TPU backends at >= ~1 MP frames,
-    where the XLA one-hot's HBM materialization binds and no reference
-    parity contract exists (the demo suite is 640x360; the kernel can
-    differ from the XLA path by ~1 ulp in the f32 divides).  Like the
-    tracker choice in metrics.quality, this resolves once at trace time.
+    kernel.  auto would engage the kernel on TPU backends at >= ~1 MP
+    frames, where the XLA one-hot's HBM materialization binds — but ONLY
+    once the kernel's on-chip parity gate (scripts/test_bmap_chip.py,
+    queue step bmap_parity) passes: the gate currently measures seam-pixel
+    divergence vs the XLA path beyond its 0.1% coverage / 45 dB floors on
+    real hardware, so auto stays on the validated XLA path and the kernel
+    is explicit opt-in via MESHFLOW_BMAP=pallas.  Like the tracker choice
+    in metrics.quality, this resolves once at trace time.
     """
     import os
 
@@ -157,14 +172,15 @@ def use_bmap_pallas(
     if mode == "xla":
         return False
     if mode == "pallas":
-        return True
-    return (
-        jax.default_backend() not in ("cpu",)
-        and frame_height * frame_width >= 1_000_000
-        and frame_width % 8 == 0
-        and config.mesh_row_count <= 129
-        and config.mesh_col_count <= 129
-    )
+        return (
+            frame_width % 8 == 0
+            and config.mesh_row_count <= 129
+            and config.mesh_col_count <= 129
+        )
+    # auto: disabled pending the chip parity gate (see docstring).  The
+    # shape/backend conditions it will re-check once validated:
+    #   backend != cpu and H*W >= 1e6 and W % 8 == 0 and mesh <= 129x129
+    return False
 
 
 @functools.partial(

@@ -512,14 +512,30 @@ def _solve_and_render(
     producer_error = []
     cancel = threading.Event()  # consumer died: unblock + stop the producer
 
-    def _put(item) -> bool:
+    def _qput(q, item) -> bool:
         while not cancel.is_set():
             try:
-                work.put(item, timeout=0.25)
+                q.put(item, timeout=0.25)
                 return True
             except _queue.Full:
                 continue
         return False
+
+    def _put(item) -> bool:
+        return _qput(work, item)
+
+    # Host CPU pipelining: decode / warp+crop / encode each hold the CPU
+    # for 15-28 ms per 1080p frame (HOST_PROFILE_1080P.json), so serially
+    # they cap the host at ~14.7 fps regardless of device speed.  With
+    # >= 2 cores the three stages run in their own threads (each releases
+    # the GIL inside libav/C++/cv2), bounded by the slowest stage instead
+    # of the sum.  On a 1-core host threading only adds contention, so the
+    # serial producer is kept.  MESHFLOW_HOST_PIPELINE=serial|threaded
+    # overrides the core-count auto.
+    pipe_mode = _os.environ.get("MESHFLOW_HOST_PIPELINE", "auto")
+    threaded = pipe_mode == "threaded" or (
+        pipe_mode == "auto" and (_os.cpu_count() or 1) >= 2
+    )
 
     def produce():
         # Frame source: pass-1's retained decoded batches when the whole
@@ -584,8 +600,114 @@ def _solve_and_render(
                 reader2.close()
             _put(None)
 
-    thread = threading.Thread(target=produce, daemon=True)
-    thread.start()
+    # ---- threaded 3-stage producer (decode | warp+crop | encode) ----
+    q_dec: "_queue.Queue" = _queue.Queue(maxsize=2)
+    q_enc: "_queue.Queue" = _queue.Queue(maxsize=2)
+    buf_pool: "_queue.Queue" = _queue.Queue()
+
+    def decode_stage():
+        reader2 = None if host_cache is not None else ChunkReader(input_path)
+        cache_iter = iter(host_cache) if host_cache is not None else None
+        start = 0
+        try:
+            while not cancel.is_set():
+                t0 = time.perf_counter()
+                if cache_iter is not None:
+                    batch = next(cache_iter, None)
+                    if batch is None:
+                        break
+                else:
+                    batch = reader2.read(chunk)
+                acc.add("decode", time.perf_counter() - t0)
+                if batch.shape[0] == 0:
+                    break
+                if not _qput(q_dec, (start, batch)):
+                    return
+                start += batch.shape[0]
+        except BaseException as e:
+            producer_error.append(e)
+            cancel.set()
+        finally:
+            if reader2 is not None:
+                reader2.close()
+            _qput(q_dec, None)
+
+    def warp_stage():
+        try:
+            while not cancel.is_set():
+                item = q_dec.get()
+                if item is None:
+                    break
+                start, batch = item
+                n = batch.shape[0]
+                t0 = time.perf_counter()
+                out_view = None
+                buf = None
+                if metric_src == "device":
+                    # Rotating buffer ring: encode recycles buffers after
+                    # the writer consumes them, so warp of chunk k+1 never
+                    # overwrites pixels encode is still reading of chunk k.
+                    try:
+                        buf = buf_pool.get_nowait()
+                    except _queue.Empty:
+                        buf = np.empty(
+                            (chunk,) + batch.shape[1:], batch.dtype
+                        )
+                    out_view = buf[:n]
+                cropped_np = host_render.render_cropped_host(
+                    batch,
+                    du_np[start : start + n],
+                    ds_np[start : start + n],
+                    crop,
+                    config,
+                    out=out_view,
+                )
+                planes = (
+                    None
+                    if start + n <= res_end
+                    else to_track_planes(batch, config)
+                )
+                acc.add("warp+crop (host)", time.perf_counter() - t0)
+                if not _qput(q_enc, (start, planes, cropped_np, n, buf)):
+                    return
+        except BaseException as e:
+            producer_error.append(e)
+            cancel.set()
+        finally:
+            _qput(q_enc, None)
+
+    def encode_stage():
+        try:
+            while not cancel.is_set():
+                item = q_enc.get()
+                if item is None:
+                    break
+                start, planes, cropped_np, n, buf = item
+                t0 = time.perf_counter()
+                writer.write(cropped_np)
+                acc.add("encode", time.perf_counter() - t0)
+                if buf is not None:
+                    # Pixels are in the encoder now; recycle the buffer.
+                    buf_pool.put(buf)
+                    cropped_np = None
+                if not _put((start, planes, cropped_np, n)):
+                    return
+        except BaseException as e:
+            producer_error.append(e)
+            cancel.set()
+        finally:
+            _put(None)
+
+    if threaded:
+        threads = [
+            threading.Thread(target=fn, daemon=True)
+            for fn in (decode_stage, warp_stage, encode_stage)
+        ]
+        for t in threads:
+            t.start()
+    else:
+        threads = [threading.Thread(target=produce, daemon=True)]
+        threads[0].start()
     try:
         while True:
             item = work.get()
@@ -632,21 +754,24 @@ def _solve_and_render(
                 sync(inflight.popleft())
             acc.add("metrics (dispatch)", time.perf_counter() - t0)
     except BaseException:
-        # Unblock the producer (it may be waiting on the full queue),
-        # then release the encoder/reader before propagating.
+        # Unblock the producer stages (they may be waiting on full
+        # queues), then release the encoder/reader before propagating.
         cancel.set()
-        while True:
-            try:
-                work.get_nowait()
-            except _queue.Empty:
-                break
-        thread.join(timeout=10.0)
+        for q in (work, q_dec, q_enc):
+            while True:
+                try:
+                    q.get_nowait()
+                except _queue.Empty:
+                    break
+        for t in threads:
+            t.join(timeout=10.0)
         try:
             writer.close()
         except IOError:
             pass  # the original error is the one to surface
         raise
-    thread.join()
+    for t in threads:
+        t.join()
     if producer_error:
         raise producer_error[0]
     t0 = time.perf_counter()

@@ -93,6 +93,10 @@ if [ -e /tmp/tpu_queue/bmap_parity.ok ]; then
 fi
 run_step bench_1080p_mesh64 10800 BENCH_1080P_MESH64.json \
   env MESHFLOW_BMAP=xla python scripts/bench_1080p.py --mesh64 --out BENCH_1080P_MESH64.json
+run_step make_4k_clip 1800 bench_data/video-1-4k.mp4 \
+  python scripts/make_bench_clips.py 4k
+run_step bench_4k 7200 BENCH_4K.json \
+  env MESHFLOW_BMAP=xla python scripts/bench_4k.py --out BENCH_4K.json
 run_step measure_upload 1800 /tmp/tpu_queue/measure_upload.ok \
   bash -c 'python scripts/measure_upload.py && touch /tmp/tpu_queue/measure_upload.ok'
 run_step lk_chip_parity 3600 /tmp/tpu_queue/lk_chip_parity.ok \

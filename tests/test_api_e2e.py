@@ -86,6 +86,25 @@ def test_stabilize_end_to_end(tmp_path, rng):
 
 
 @pytest.mark.slow
+def test_threaded_host_pipeline_matches_serial(tmp_path, rng, monkeypatch):
+    """The 3-stage threaded host pipeline (decode | warp | encode) must be
+    byte-identical to the serial producer: same encoded video, same
+    metrics.  This box is 1-core so auto selects serial; force each."""
+    inp = tmp_path / "in.mp4"
+    _write_clip(inp, rng)  # 8 frames: same shapes as the e2e test above
+    outs, metrics = [], []
+    for mode in ("serial", "threaded"):
+        out = tmp_path / f"out-{mode}.mp4"
+        monkeypatch.setenv("MESHFLOW_HOST_PIPELINE", mode)
+        m = MeshFlowStabilizer()
+        metrics.append(m.stabilize(str(inp), str(out), 0))
+        with open(out, "rb") as f:
+            outs.append(f.read())
+    assert metrics[0] == metrics[1]
+    assert outs[0] == outs[1]
+
+
+@pytest.mark.slow
 def test_cli_end_to_end(tmp_path, rng):
     inp = tmp_path / "in.mp4"
     out = tmp_path / "out.mp4"
