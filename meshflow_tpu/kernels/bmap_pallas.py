@@ -21,17 +21,16 @@ Exactness: the same arithmetic as the XLA path — identical bf16 Dekker
 3-split tables contracted by exact 0/1 one-hots (each output is a single
 product, so accumulation order is irrelevant), summed in the same
 ((hi + mid) + lo) order, then the same f32 apply/membership formulas.
-Interpret mode is bit-identical to the XLA path (tests/test_bmap_pallas).
-On hardware, Mosaic's f32 divide/FMA lowering differs from XLA's by
-~1 ulp, and the map takes discrete decisions (cell-of-pixel, bbox
-membership) on those values: measured ~0.4% of pixels near cell seams
-resolve to a neighboring cell's homography (scripts/test_bmap_chip.py
-gates crop-edge equality, p99.5 map agreement, and rendered-frame PSNR
-instead of bitwise maps; the seam choice is ambiguous in the reference's
-own last-cell-wins compositing, meshflowstabilizer.py:1060-1061).  The
-production router therefore keeps the XLA path at parity-contract
-resolutions (the 640x360 demo suite) and engages this kernel where the
-one-hot traffic actually binds (>= ~1 MP frames; see
+Interpret mode is bit-identical to the XLA path (tests/test_bmap_pallas),
+and after the Dekker-split barrier fix (see _dekker3) the ON-CHIP kernel
+is bit-identical too: coverage mismatch 0, p99.5 |dmap| 0, crop diff
+0 px across 640x360/1080p, mesh 16x16/64x64, smooth + noise warps
+(scripts/test_bmap_chip.py, round-4 queue run) — the round-3 seam
+divergence was entirely the zeroed mid/lo terms coarsening both paths'
+values to bf16, where discrete cell decisions tie far more often.  The
+production router keeps the XLA path below ~1 MP (compile cost isn't
+worth it there) and engages this kernel where the one-hot traffic binds
+(>= ~1 MP frames, 1.5-1.65x faster; see
 render.stabilize.use_bmap_pallas).
 """
 

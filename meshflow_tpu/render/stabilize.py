@@ -157,30 +157,32 @@ def use_bmap_pallas(
     """Route backward_map through the Pallas kernel (kernels/bmap_pallas).
 
     MESHFLOW_BMAP=xla forces the one-hot XLA path, =pallas forces the
-    kernel.  auto would engage the kernel on TPU backends at >= ~1 MP
-    frames, where the XLA one-hot's HBM materialization binds — but ONLY
-    once the kernel's on-chip parity gate (scripts/test_bmap_chip.py,
-    queue step bmap_parity) passes: the gate currently measures seam-pixel
-    divergence vs the XLA path beyond its 0.1% coverage / 45 dB floors on
-    real hardware, so auto stays on the validated XLA path and the kernel
-    is explicit opt-in via MESHFLOW_BMAP=pallas.  Like the tracker choice
-    in metrics.quality, this resolves once at trace time.
+    kernel.  auto engages the kernel on TPU backends at >= ~1 MP frames,
+    where the XLA one-hot's HBM materialization binds.  Gate evidence:
+    after the Dekker-split barrier fix, the kernel is BIT-IDENTICAL to
+    the XLA path on chip — coverage mismatch 0, p99.5 |dmap| 0, crop
+    diff 0 px across 640x360/1080p, mesh 16x16/64x64, smooth and noise
+    warps (scripts/test_bmap_chip.py, queue step bmap_parity, round 4) —
+    and 1.5-1.65x faster (84 vs 139 ms/frame at mesh64 1080p).  Like the
+    tracker choice in metrics.quality, this resolves once at trace time.
     """
     import os
 
+    shape_ok = (
+        frame_width % 8 == 0
+        and config.mesh_row_count <= 129
+        and config.mesh_col_count <= 129
+    )
     mode = os.environ.get("MESHFLOW_BMAP", "auto")
     if mode == "xla":
         return False
     if mode == "pallas":
-        return (
-            frame_width % 8 == 0
-            and config.mesh_row_count <= 129
-            and config.mesh_col_count <= 129
-        )
-    # auto: disabled pending the chip parity gate (see docstring).  The
-    # shape/backend conditions it will re-check once validated:
-    #   backend != cpu and H*W >= 1e6 and W % 8 == 0 and mesh <= 129x129
-    return False
+        return shape_ok
+    return (
+        jax.default_backend() not in ("cpu",)
+        and frame_height * frame_width >= 1_000_000
+        and shape_ok
+    )
 
 
 @functools.partial(

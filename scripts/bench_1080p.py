@@ -98,6 +98,9 @@ def device_only_pass(parts, num_frames, h, w, config, chunk):
     keypoints = jax.tree.map(
         lambda *p: jnp.concatenate(p, axis=0), *kps_parts
     )
+    sync(motion.displacements)
+    stages = {"motion": time.perf_counter() - t0}
+    t1 = time.perf_counter()
     lambdas = adaptive_weights(motion.homographies, w, h, 0)
     stab_disp = jacobi_smooth(
         motion.displacements, lambdas,
@@ -111,6 +114,8 @@ def device_only_pass(parts, num_frames, h, w, config, chunk):
         ),
         jnp.int32,
     )
+    stages["solve+crop"] = time.perf_counter() - t1
+    t2 = time.perf_counter()
 
     ratios, dists = [], []
     for start in range(0, num_frames, chunk):
@@ -137,8 +142,11 @@ def device_only_pass(parts, num_frames, h, w, config, chunk):
     ds = jnp.min(jnp.concatenate(dists))
     ss = stability_score(stab_disp)
     sync(cr, ds, ss)
+    stages["render+metrics"] = time.perf_counter() - t2
     dt = time.perf_counter() - t0
-    return dt, (float(cr), float(ds), float(ss))
+    return dt, (float(cr), float(ds), float(ss)), {
+        k: round(v, 2) for k, v in stages.items()
+    }
 
 
 def main():
@@ -240,11 +248,14 @@ def main():
     cfg = stabilizer.config
     nf = info.num_frames
     device_only_pass(parts, nf, h, w, cfg, chunk)  # compile pass
-    dt, dev_metrics = device_only_pass(parts, nf, h, w, cfg, chunk)
+    dt, dev_metrics, dev_stages = device_only_pass(
+        parts, nf, h, w, cfg, chunk
+    )
     results["device_only"] = {
         "seconds": round(dt, 2),
         "fps": round(info.num_frames / dt, 3),
         "metrics": list(dev_metrics),
+        "stages": dev_stages,
         "note": "frames HBM-resident; motion+solve+render+metrics on "
         "device; no wire, no host pixel work",
     }
@@ -269,11 +280,14 @@ def main():
         start += part.shape[0]
     reader.close()
     device_only_pass(gparts, nf, h, w, gray_cfg, chunk)  # compile pass
-    dt, gdev_metrics = device_only_pass(gparts, nf, h, w, gray_cfg, chunk)
+    dt, gdev_metrics, gdev_stages = device_only_pass(
+        gparts, nf, h, w, gray_cfg, chunk
+    )
     results["device_only_gray"] = {
         "seconds": round(dt, 2),
         "fps": round(info.num_frames / dt, 3),
         "metrics": list(gdev_metrics),
+        "stages": gdev_stages,
         "note": "as device_only but track_planes=gray single-plane frames",
     }
 

@@ -83,6 +83,8 @@ run_step bmap_parity  3600 /tmp/tpu_queue/bmap_parity.ok \
   bash -c 'python scripts/test_bmap_chip.py && touch /tmp/tpu_queue/bmap_parity.ok'
 run_step profile_preproc 3600 /tmp/tpu_queue/profile_preproc.ok \
   bash -c 'python scripts/profile_preproc.py && touch /tmp/tpu_queue/profile_preproc.ok'
+run_step make_1080p_clip 1800 bench_data/video-1-1080p.mp4 \
+  python scripts/make_bench_clips.py 1080p
 run_step bench_1080p   7200 BENCH_1080P.json \
   env MESHFLOW_BMAP=xla python scripts/bench_1080p.py --out BENCH_1080P.json
 run_step bench_online  2400 BENCH_ONLINE.json \
@@ -99,6 +101,11 @@ run_step bench_4k 7200 BENCH_4K.json \
   env MESHFLOW_BMAP=xla python scripts/bench_4k.py --out BENCH_4K.json
 run_step measure_upload 1800 /tmp/tpu_queue/measure_upload.ok \
   bash -c 'python scripts/measure_upload.py && touch /tmp/tpu_queue/measure_upload.ok'
+# Refresh the demo-suite parity evidence after any change to the device
+# metric path (the Dekker-split fix changed device-rendered metric
+# frames), then re-check the committed +-1% gates against the new file.
+run_step suite_refresh 10800 /tmp/tpu_queue/suite_refresh_r4.ok \
+  bash -c 'python scripts/run_suite.py && JAX_PLATFORMS=cpu python -m pytest tests/test_suite_results.py -q && touch /tmp/tpu_queue/suite_refresh_r4.ok'
 run_step lk_chip_parity 3600 /tmp/tpu_queue/lk_chip_parity.ok \
   bash -c 'python scripts/test_lk_pallas_chip.py && touch /tmp/tpu_queue/lk_chip_parity.ok'
 run_step bench_self    3600 "" \
