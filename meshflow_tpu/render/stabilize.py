@@ -289,12 +289,57 @@ def bilinear_sample(
     """
     h, w, c = frame.shape
     packed = c == 3 and frame.dtype == jnp.uint8
+    packed1 = c == 1 and frame.dtype == jnp.uint8
     x0 = jnp.floor(sample_x)
     y0 = jnp.floor(sample_y)
     fx = sample_x - x0
     fy = sample_y - y0
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
+
+    if packed1:
+        # Single-plane variant of the quad-packed gather below: the whole
+        # 2x2 footprint of the u8 plane fits ONE u32 word
+        # (tap(i) | tap(i+1)<<8 | tap(i+w)<<16 | tap(i+w+1)<<24), so each
+        # output pixel costs a single 1-word gather row — the gray render
+        # was otherwise SLOWER than BGR (4 scalar gather rows vs 1 packed
+        # row; measured device-only 4.98 vs 5.65 fps at 1080p,
+        # BENCH_1080P.json round 4).  Byte selection by clamped offset
+        # reproduces edge-clamp semantics exactly as in the 3-channel
+        # path; border mode substitutes the border color for outside taps.
+        img8 = frame[..., 0].astype(jnp.uint32).reshape(h * w)
+        quad1 = (
+            img8
+            | (jnp.roll(img8, -1) << 8)
+            | (jnp.roll(img8, -w) << 16)
+            | (jnp.roll(img8, -w - 1) << 24)
+        )  # (h*w,)
+        xb = jnp.clip(x0i, 0, w - 2)
+        yb = jnp.clip(y0i, 0, h - 2)
+        taps32 = jnp.take(quad1, yb * w + xb)  # (...,)
+
+        out = 0.0
+        border = (
+            jnp.asarray(border_bgr, jnp.float32)[0]
+            if border_bgr is not None
+            else None
+        )
+        for dy in (0, 1):
+            for dx in (0, 1):
+                tx = x0i + dx
+                ty = y0i + dy
+                weight = (fx if dx else (1.0 - fx)) * (fy if dy else (1.0 - fy))
+                inside = (tx >= 0) & (tx < w) & (ty >= 0) & (ty < h)
+                wsel = (jnp.clip(ty, 0, h - 1) - yb) * 2 + (
+                    jnp.clip(tx, 0, w - 1) - xb
+                )  # in {0,1,2,3}
+                vals = (
+                    (taps32 >> (wsel.astype(jnp.uint32) * 8)) & 0xFF
+                ).astype(jnp.float32)
+                if border is not None:
+                    vals = jnp.where(inside, vals, border)
+                out = out + weight * vals
+        return out[..., None]
 
     if packed:
         # Quad-packed gather: TPU gathers are row-count-bound, so instead

@@ -134,3 +134,37 @@ def test_backward_map_covers_frame_for_smooth_warp(rng):
     bmap = backward_map(stab_pos, vg, config, h, w)
     # A mild warp keeps nearly the whole frame covered.
     assert np.asarray(bmap.covered).mean() > 0.95
+
+
+def test_bilinear_sample_packed_paths_match_generic(rng):
+    """The packed u8 gather paths (3-channel uint32 word, 1-channel 2x2
+    quad word) must be bit-identical to the generic float gather across
+    inside/outside/edge/fractional coords, with and without a border
+    color.  The generic path is forced via a uint16 copy of the same
+    values (only u8 takes the packed routes)."""
+    from meshflow_tpu.render.stabilize import bilinear_sample
+
+    h, w = 37, 53
+    n = 4000
+    sx = rng.uniform(-4, w + 3, size=n).astype(np.float32)
+    sy = rng.uniform(-4, h + 3, size=n).astype(np.float32)
+    sx[:50] = np.arange(50) % w  # exact integers hit the clamp corners
+    sy[:50] = (np.arange(50) * 7) % h
+
+    for c, border in [(1, None), (1, [99.0]), (3, None), (3, [9.0, 99.0, 199.0])]:
+        frame = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        packed = np.asarray(
+            bilinear_sample(
+                jnp.asarray(frame), jnp.asarray(sx), jnp.asarray(sy), border
+            )
+        )
+        generic = np.asarray(
+            bilinear_sample(
+                jnp.asarray(frame.astype(np.uint16)),
+                jnp.asarray(sx),
+                jnp.asarray(sy),
+                border,
+            )
+        )
+        assert packed.shape == generic.shape == (n, c)
+        assert np.array_equal(packed, generic), (c, border)
