@@ -12,13 +12,16 @@ feature tracker, so its single-draw value carries the estimator's noise.
 scripts/our_variance.py records a 5-seed spread per config as
 tests/fixtures/our_seed_variance_<clip>_<variant>.json; where that
 fixture exists, the gate for each metric is
-max(1%, measured spread + 1%).  Configs without a committed fixture get
-no widening.  (The reference cannot provide its own spread: its OpenCV
-5.0 RANSAC is internally deterministic — cv2.setRNGSeed leaves its
-metrics bit-identical, tests/fixtures/reference_seed_variance.json — so
-the reference fixture value is one frozen draw from the same noisy
-estimator.  On video-10/constant-high, 2 of our 5 seeds land within 1%
-of that draw while the spread is ~19%.)
+max(1%, measured spread + 1%), with the spread expressed in percent of
+the REFERENCE value — the same denominator rel_diff_pct uses — so the
+gate and the deviation it bounds are in the same units.  Configs
+without a committed fixture get no widening.  (The reference cannot
+provide its own spread: its OpenCV 5.0 RANSAC is internally
+deterministic — cv2.setRNGSeed leaves its metrics bit-identical,
+tests/fixtures/reference_seed_variance.json — so the reference fixture
+value is one frozen draw from the same noisy estimator.  On
+video-10/constant-high, 2 of our 5 seeds land within 1% of that draw
+while the spread is ~19%.)
 
 Skips when no results file exists (fresh checkout).
 """
@@ -33,9 +36,10 @@ FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 METRICS = ("cropping_ratio", "distortion_score", "stability_score")
 
 
-def _measured_spread_pct(key):
-    """Per-metric 5-seed spread (% of mean) from the config's committed
-    variance fixture, or None when no fixture exists."""
+def _measured_spread_pct(key, reference):
+    """Per-metric 5-seed spread (% of the reference value, matching the
+    rel_diff_pct denominator) from the config's committed variance
+    fixture, or None when no fixture exists."""
     clip, variant = key.split("/")
     path = os.path.join(
         FIXTURES, f"our_seed_variance_{clip}_{variant}.json"
@@ -49,8 +53,7 @@ def _measured_spread_pct(key):
     out = {}
     for metric in METRICS:
         vals = [e[metric] for e in entries]
-        mean = sum(vals) / len(vals)
-        out[metric] = 100.0 * (max(vals) - min(vals)) / mean
+        out[metric] = 100.0 * (max(vals) - min(vals)) / reference[metric]
     return out
 
 
@@ -62,7 +65,7 @@ def test_suite_parity_gates():
     failures = []
     for key, entry in sorted(results.items()):
         rel = entry["rel_diff_pct"]
-        spread = _measured_spread_pct(key)
+        spread = _measured_spread_pct(key, entry["reference"])
         for metric in METRICS:
             gate = 1.0
             if spread is not None:
