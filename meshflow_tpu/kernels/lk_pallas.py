@@ -23,12 +23,27 @@ Here each (tile, feature-block) grid program keeps everything in VMEM:
   iteration regardless of C (measured ~1.9x on the convergence-bound
   metric pass).
 
+Patch FETCHES are per-feature 2D aligned dynamic slices: each feature's
+(stride+8, 256) band is loaded at an 8-sublane/128-lane-aligned base
+(the alignment this Mosaic can prove through `(x // k) * k`), then the
+exact (stride, stride) patch is cut out with small batched one-hot
+matmuls over the band.  Scalar bases cross from the iteration loop's
+vector registers through a VMEM scratch (scalar loads at dynamic
+indices lower — scripts/probe_scalar_from_vmem.py).  This replaces the
+round-3 full-plane one-hot row/column selection, whose (B, wpad,
+stride) selectors capped the feature block at 16; bands scale with B
+alone, so blocks of 64 features amortize the latency-bound per-block
+setup and per-iteration ops 4x (scripts/probe_lk_cost.py measured the
+kernel latency-bound: ~26 us/block setup + ~4 us/iteration at B=16,
+nearly independent of plane area).
+
 This Mosaic toolchain imposes hard constraints the layout honors:
-dynamic vector loads must be 8/128-aligned (so all window selection is
-one-hot matmuls / static shifts, never dynamic slices), per-feature
-scalars only broadcast along minor dims (so flat (B*stride, lanes)
-layouts with jnp.repeat-expanded scalars), and reshapes only split
-majors in multiples of 8 (strides 24/40 both qualify).
+UNALIGNED dynamic vector loads are rejected (so in-iteration window
+selection is one-hot matmuls / static shifts; dynamic slices appear
+only at provably 8/128-aligned bases), per-feature scalars only
+broadcast along minor dims (so flat (B*stride, lanes) layouts with
+jnp.repeat-expanded scalars), and reshapes only split majors in
+multiples of 8 (strides 24/40 both qualify).
 
 Semantics match kernels/lk.py (itself oracle-tested against
 cv2.calcOpticalFlowPyrLK): Scharr/32 derivatives zeroed outside the
@@ -52,6 +67,7 @@ PR = 24  # prev patch rows/cols: 22 bilinear support + 1-px Scharr ring
 PN_TOP = 72  # top-level next patch: large margin, big motions live here
 PN_LOWER = 40  # refinement-level next patch: 22 support + 2*8 margin
 PAD = 28  # REFLECT_101 plane padding; >= WIN + PR margin everywhere
+BAND_C = 256  # fetch band lanes: 128 alignment slack + 128 fine offset
 ROUNDS = 4  # patch-refresh rounds per level
 CV_SCALE = 1.0 / 1024.0  # Scharr is 32x unit gradient; OpenCV's FLT_SCALE
 FLT_EPSILON = 1.19209290e-07
@@ -81,6 +97,9 @@ def _lk_level_kernel(
     jpatch_s,
     jint3_s,
     praw_s,
+    band_s,
+    csel_s,
+    base_s,
     *,
     block: int,
     rows: int,
@@ -101,6 +120,12 @@ def _lk_level_kernel(
     margin = (pn - PR) // 2
     eps2 = eps * eps
     win_area = float(WIN * WIN)
+    # Patch origins are clipped to the reflect-padded data extent; the
+    # array's hpad/wpad additionally include the aligned-fetch slack
+    # (zeros, never selected) added by reflect_pad_level.
+    hdata = rows + 2 * PAD
+    wdata = cols + 2 * PAD
+    sub = min(16, B)  # fine-selector construction sub-block
 
     # Default pass-through (overwritten per block with valid features).
     # feat rows: [px, py, guess_x, guess_y, valid, status, 0, 0]
@@ -142,39 +167,76 @@ def _lk_level_kernel(
             )  # (B,1) bool
 
             # patch covers plane rows [ipy+PAD-1, +PR), cols [ipx+PAD-1, +PR).
-            oy0 = jnp.clip(ipy + PAD - 1, 0, hpad - PR)
-            ox0 = jnp.clip(ipx + PAD - 1, 0, wpad - PR)
+            oy0 = jnp.clip(ipy + PAD - 1, 0, hdata - PR)
+            ox0 = jnp.clip(ipx + PAD - 1, 0, wdata - PR)
 
-            def onehots(y0, x0, stride):
-                """Row/col one-hot selectors for a (stride, stride) patch."""
-                tgt = _expand(y0, stride)  # (B*stride, 1)
-                roff = _iota((B * stride, hpad), 0) % stride
-                rlane = _iota((B * stride, hpad), 1)
-                R = (rlane == (tgt + roff)).astype(jnp.float32)
-                ctgt = _expand(x0, wpad)  # (B*wpad, 1)
-                coff = _iota((B * wpad, stride), 0) % wpad
-                clane = _iota((B * wpad, stride), 1)
-                C2 = (coff == (ctgt + clane)).astype(jnp.float32).reshape(
-                    B, wpad, stride
-                )
-                return R, C2
+            def load_bands(img_s, y0, x0, nrows):
+                """Per-feature aligned band loads for a patch fetch.
 
-            def extract_c(img3_s, R, C2, c, stride):
-                """One channel's (B, stride, stride) patch.
+                y0/x0: (B, 1) i32 patch origins in plane coords, already
+                clipped to the data extent.  Loads each feature's
+                (nrows, BAND_C) band at an 8/128-aligned base with a
+                dynamic slice (this Mosaic lowers provably-aligned
+                dynamic vector loads — scripts/probe_aligned_dynslice.py)
+                into band_s; scalar bases cross from vector to scalar
+                registers through the base_s VMEM scratch
+                (scripts/probe_scalar_from_vmem.py).  Returns the (B, 1)
+                in-band row/lane offsets of the true origin.
+                """
+                yb = (y0 // 8) * 8
+                xb = (x0 // 128) * 128
+                base_s[:, 0:1] = yb
+                base_s[:, 1:2] = xb
+
+                def body(i, _):
+                    ybi = (base_s[i, 0] // 8) * 8  # provably aligned
+                    xbi = (base_s[i, 1] // 128) * 128
+                    for c in range(C):
+                        band_s[c, i, 0:nrows, :] = img_s[
+                            c, pl.ds(ybi, nrows), pl.ds(xbi, BAND_C)
+                        ]
+                    return 0
+
+                jax.lax.fori_loop(0, B, body, 0)
+                return y0 - yb, x0 - xb
+
+            def build_csel(dx, stride):
+                """Fine column selector into csel_s: csel[b, l, j] =
+                [l == dx_b + j].  Built in sub-blocks so no multi-MB
+                one-hot value lands on the Mosaic stack."""
+                for sb in range(0, B, sub):
+                    ctgt = _expand(dx[sb : sb + sub], BAND_C)
+                    flat = (
+                        (_iota((sub * BAND_C, stride), 0) % BAND_C)
+                        == ctgt + _iota((sub * BAND_C, stride), 1)
+                    ).astype(jnp.float32)
+                    csel_s[sb : sb + sub, :, 0:stride] = flat.reshape(
+                        sub, BAND_C, stride
+                    )
+
+            def fine_select(c, dy, stride, nrows):
+                """One channel's (B, stride, stride) patch from its bands.
 
                 One-hot selectors times 8-bit-integer-valued planes are
                 exact under bf16 MXU passes, so these dots override the
                 package-wide HIGHEST matmul precision (6x bf16 passes)
                 with the fast single-pass DEFAULT.
                 """
-                rowband = jax.lax.dot_general(
-                    R, img3_s[c], (((1,), (0,)), ((), ())),
+                cols_sel = jax.lax.dot_general(
+                    band_s[c, :, 0:nrows, :],
+                    csel_s[:, :, 0:stride],
+                    (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT,
-                )  # (B*stride, wpad)
+                )  # (B, nrows, stride)
+                rtgt = _expand(dy, stride)  # (B*stride, 1)
+                rsel = (
+                    _iota((B * stride, nrows), 1)
+                    == rtgt + (_iota((B * stride, nrows), 0) % stride)
+                ).astype(jnp.float32).reshape(B, stride, nrows)
                 return jax.lax.dot_general(
-                    rowband.reshape(B, stride, wpad),
-                    C2,
+                    rsel,
+                    cols_sel,
                     (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT,
@@ -208,14 +270,15 @@ def _lk_level_kernel(
                     return x
                 return pltpu.roll(x, (PR - d) % PR, axis=1)
 
-            Rp, C2p = onehots(oy0, ox0, PR)
+            dyp, dxp = load_bands(pimg_s, oy0, ox0, PR + 8)
+            build_csel(dxp, PR)
 
             # Unrolled over channels (static lane offsets: dynamic lane
             # slices do not lower on this Mosaic).  Windows land
             # channel-minor in win_s: [iw_all | gx_all | gy_all], each
             # (B*PR, C*PR), so the iteration loop reads them fused.
             def prev_channel(c):
-                praw_s[c, 0:n, :] = extract_c(pimg_s, Rp, C2p, c, PR).reshape(
+                praw_s[c, 0:n, :] = fine_select(c, dyp, PR, PR + 8).reshape(
                     n, PR
                 )
                 praw_s[c, n:, :] = jnp.zeros((8, PR), jnp.float32)
@@ -307,18 +370,19 @@ def _lk_level_kernel(
                 st = st_i > 0
                 icy0 = jnp.floor(corner0[:, 1:2]).astype(jnp.int32)
                 icx0 = jnp.floor(corner0[:, 0:1]).astype(jnp.int32)
-                py0 = jnp.clip(icy0 + PAD - margin, 0, hpad - pn)
-                px0 = jnp.clip(icx0 + PAD - margin, 0, wpad - pn)
+                py0 = jnp.clip(icy0 + PAD - margin, 0, max(hdata - pn, 0))
+                px0 = jnp.clip(icx0 + PAD - margin, 0, max(wdata - pn, 0))
 
                 need = active0 & jnp.logical_not(finished)
 
                 @pl.when(jnp.any(need))
                 def _fetch():
-                    Rn, C2n = onehots(py0, px0, pn)
+                    dyn, dxn = load_bands(nimg_s, py0, px0, pn + 8)
+                    build_csel(dxn, pn)
                     for c in range(C):
                         # channel-minor: (B, pn, C*pn)
-                        jpatch_s[:, :, c * pn : (c + 1) * pn] = extract_c(
-                            nimg_s, Rn, C2n, c, pn
+                        jpatch_s[:, :, c * pn : (c + 1) * pn] = fine_select(
+                            c, dyn, pn, pn + 8
                         )
 
                 def iter_cond(state):
@@ -525,7 +589,7 @@ def lk_level_pallas(
     rows: int,
     cols: int,
     shifted: bool = True,
-    block: int = 16,
+    block: int = 64,
     max_iters: int = 30,
     eps: float = 0.01,
     min_eig_threshold: float = 1e-4,
@@ -614,12 +678,19 @@ def lk_level_pallas(
             pltpu.VMEM((block, pn, c * pn), jnp.float32),  # jpatch (ch-minor)
             pltpu.VMEM((block * PR, c * PR), jnp.float32),  # jint3
             pltpu.VMEM((c, block * PR + 8, PR), jnp.float32),  # praw (+slack)
+            # aligned-fetch bands (shared by prev/next patch fetches)
+            pltpu.VMEM((c, block, pn + 8, BAND_C), jnp.float32),
+            pltpu.VMEM((block, BAND_C, pn), jnp.float32),  # fine col selector
+            pltpu.VMEM((block, 128), jnp.int32),  # scalar base handoff
         ],
         # The f32 plane pages scale with tile area: 640x360 tiles fit the
         # default 16 MB scoped-vmem budget, 1080p tiles (326x536 padded)
-        # need ~21 MB.  v5e has 128 MB of VMEM; budget half of it.
+        # need ~21 MB; the B=64 fetch bands add ~10-16 MB and the pn=72
+        # top-level case peaks ~69 MB of scoped allocation.  v5e has
+        # 128 MB of VMEM; budget 100 MB and leave the rest for the
+        # pipelined block buffers.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(prev_planes_u8, next_planes_u8, packed)
@@ -633,7 +704,7 @@ def lk_track_pairs_pallas(
     level_dims,  # tuple over levels of (rows_l, cols_l)
     pts: jnp.ndarray,  # (F, S, K, 2) f32 tile-local level-0 positions
     valid: jnp.ndarray,  # (F, S, K) bool
-    block: int = 16,
+    block: int = 64,
     max_iters: int = 30,
     eps: float = 0.01,
     min_eig_threshold: float = 1e-4,
@@ -665,7 +736,7 @@ def lk_track_parallel_pallas(
     pts: jnp.ndarray,  # (T, S, K, 2) f32 tile-local level-0 prev positions
     valid: jnp.ndarray,  # (T, S, K) bool
     shifted: bool = False,
-    block: int = 16,
+    block: int = 64,
     max_iters: int = 30,
     eps: float = 0.01,
     min_eig_threshold: float = 1e-4,
@@ -708,7 +779,7 @@ def lk_track_parallel_pallas(
             rows=rows_l,
             cols=cols_l,
             shifted=shifted,
-            block=min(block, 16) if level == max_level else block,
+            block=block,
             max_iters=max_iters,
             eps=eps,
             min_eig_threshold=min_eig_threshold,
@@ -727,7 +798,14 @@ def lk_track_parallel_pallas(
 
 def reflect_pad_level(img: jnp.ndarray, pad: int = PAD) -> jnp.ndarray:
     """REFLECT_101-pad the last two dims by `pad` (chunked: numpy reflect
-    can only pad size-1 per step)."""
+    can only pad size-1 per step), then zero-pad to the kernel's aligned
+    fetch geometry: rows to a multiple of 8 plus 8 slack rows (so any
+    8-aligned (stride+8)-row band starting at or below the clipped patch
+    origin stays in range), lanes to a multiple of 128 plus 128 (same for
+    the 128-aligned BAND_C-lane bands), with floors of PN_TOP+8 rows and
+    BAND_C lanes for the widest patches.  The zero region is never
+    selected: patch origins are clipped to the reflect-padded data extent
+    before the fine one-hot selection."""
     remaining = pad
     while remaining > 0:
         step = min(remaining, min(img.shape[-2], img.shape[-1]) - 1)
@@ -737,7 +815,12 @@ def reflect_pad_level(img: jnp.ndarray, pad: int = PAD) -> jnp.ndarray:
             mode="reflect",
         )
         remaining -= step
-    return img
+    h, w = img.shape[-2], img.shape[-1]
+    ht = max(-(-h // 8) * 8 + 8, PN_TOP + 8)
+    wt = max(-(-w // 128) * 128 + 128, BAND_C)
+    return jnp.pad(
+        img, [(0, 0)] * (img.ndim - 2) + [(0, ht - h), (0, wt - w)]
+    )
 
 
 def pack_tile_planes(tiles: jnp.ndarray, max_level: int):

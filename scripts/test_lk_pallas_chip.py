@@ -22,19 +22,6 @@ from meshflow_tpu.kernels import lk_pallas
 from meshflow_tpu.kernels.pyramid import build_pyramid, pyramid_shapes
 
 
-def reflect_pad(img, pad):
-    remaining = pad
-    while remaining > 0:
-        step = min(remaining, min(img.shape[-2], img.shape[-1]) - 1)
-        img = jnp.pad(
-            img,
-            [(0, 0)] * (img.ndim - 2) + [(step, step), (step, step)],
-            mode="reflect",
-        )
-        remaining -= step
-    return img
-
-
 def main():
     # C=3 is the reference-parity BGR mode; C=1 exercises the
     # track_planes="gray" single-plane path through the same kernel.
@@ -102,7 +89,7 @@ def run_case(C):
     levels = build_pyramid(jnp.asarray(frames_u8), max_level)  # (F,S,C,h,w)
     dims = pyramid_shapes(TH, TW, max_level)
     planes = tuple(
-        np.asarray(reflect_pad(lvl, lk_pallas.PAD)).astype(np.uint8)
+        np.asarray(lk_pallas.reflect_pad_level(lvl)).astype(np.uint8)
         for lvl in levels
     )
     t0 = time.perf_counter()
