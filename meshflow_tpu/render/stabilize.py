@@ -177,7 +177,16 @@ def use_bmap_pallas(
     if mode == "xla":
         return False
     if mode == "pallas":
-        return shape_ok
+        if not shape_ok:
+            # An explicit force must never silently measure the wrong
+            # path (round-4 advisor finding).
+            raise ValueError(
+                "MESHFLOW_BMAP=pallas forced, but the kernel does not "
+                f"support this geometry (width {frame_width} % 8 != 0 or "
+                f"mesh {config.mesh_row_count}x{config.mesh_col_count} > "
+                "129): unset it or use MESHFLOW_BMAP=auto"
+            )
+        return True
     return (
         jax.default_backend() not in ("cpu",)
         and frame_height * frame_width >= 1_000_000

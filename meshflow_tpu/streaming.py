@@ -524,6 +524,28 @@ def _solve_and_render(
     def _put(item) -> bool:
         return _qput(work, item)
 
+    def _sentinel(q):
+        """Deliver the end-of-stream None even mid-abort.
+
+        A stage's error path sets cancel (to unblock the other stages'
+        _qput waits), which would also swallow its own finally-sentinel
+        and leave the downstream get() blocked forever.  The sentinel is
+        therefore cancel-exempt; if the queue is full AFTER cancel the
+        downstream stage has stopped draining, so stale items are
+        evicted to make room (the normal path never evicts: without
+        cancel this is a plain blocking put).
+        """
+        while True:
+            try:
+                q.put(None, timeout=0.25)
+                return
+            except _queue.Full:
+                if cancel.is_set():
+                    try:
+                        q.get_nowait()
+                    except _queue.Empty:
+                        pass
+
     # Host CPU pipelining: decode / warp+crop / encode each hold the CPU
     # for 15-28 ms per 1080p frame (HOST_PROFILE_1080P.json), so serially
     # they cap the host at ~14.7 fps regardless of device speed.  With
@@ -598,7 +620,7 @@ def _solve_and_render(
         finally:
             if reader2 is not None:
                 reader2.close()
-            _put(None)
+            _sentinel(work)
 
     # ---- threaded 3-stage producer (decode | warp+crop | encode) ----
     q_dec: "_queue.Queue" = _queue.Queue(maxsize=2)
@@ -630,7 +652,7 @@ def _solve_and_render(
         finally:
             if reader2 is not None:
                 reader2.close()
-            _qput(q_dec, None)
+            _sentinel(q_dec)
 
     def warp_stage():
         try:
@@ -674,7 +696,7 @@ def _solve_and_render(
             producer_error.append(e)
             cancel.set()
         finally:
-            _qput(q_enc, None)
+            _sentinel(q_enc)
 
     def encode_stage():
         try:
@@ -696,7 +718,7 @@ def _solve_and_render(
             producer_error.append(e)
             cancel.set()
         finally:
-            _put(None)
+            _sentinel(work)
 
     if threaded:
         threads = [

@@ -62,8 +62,9 @@ def _pack_fn(shape: tuple, split: int):
 def device_to_host_u8(x: jnp.ndarray) -> np.ndarray:
     """Fetch a uint8 device array as numpy via a uint32 bitcast.
 
-    Finds the longest dim suffix whose element count is a multiple of 4
-    and bitcasts groups of 4 bytes along it inside one jitted program.
+    Finds the shortest (minor-most) dim suffix whose element count is a
+    multiple of 4 — preserving as many leading dims as possible — and
+    bitcasts groups of 4 bytes along it inside one jitted program.
     Arrays with no such suffix (or tiny ones) fall back to a plain pull.
     """
     assert x.dtype == jnp.uint8

