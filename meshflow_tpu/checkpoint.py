@@ -76,6 +76,7 @@ def _motion_config_key(config) -> str:
         config.lk_epsilon,
         config.lk_min_eig_threshold,
         config.ransac_iterations,
+        config.ransac_polish_rounds,
         config.homography_refine_iterations,
         config.track_planes,
     )

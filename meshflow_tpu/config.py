@@ -80,6 +80,15 @@ class MeshFlowConfig:
     ransac_iterations: int = 256
     ransac_reproj_threshold: float = 3.0
     ransac_seed: int = 0
+    # LO-RANSAC inlier polish: after the consensus vote, re-estimate the
+    # inlier set against the refit model and refit, this many rounds.
+    # Different seed draws contract to a common inlier fixed point, which
+    # removes most of the seed-to-seed spread of the RANSAC-dependent
+    # metrics (measured: video-10/constant-high distortion 5-seed spread
+    # 19.1% -> see tests/fixtures/our_seed_variance_*).  OpenCV's RANSAC
+    # is internally deterministic so the reference has no spread to match;
+    # this knob trades a little extra solver work for estimator stability.
+    ransac_polish_rounds: int = 2
     # Gauss-Newton refinement iterations for least-squares homographies
     # (OpenCV refines with an LM solver capped at 10 iterations).
     homography_refine_iterations: int = 10

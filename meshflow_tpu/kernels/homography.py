@@ -293,7 +293,10 @@ def _sample_distinct4(
     return jnp.stack([d0, d1, d2, d3], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("iterations", "refine_iterations"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "refine_iterations", "polish_rounds"),
+)
 def ransac_homography(
     early: jnp.ndarray,
     late: jnp.ndarray,
@@ -302,6 +305,7 @@ def ransac_homography(
     threshold: float = 3.0,
     iterations: int = 256,
     refine_iterations: int = 10,
+    polish_rounds: int = 0,
 ):
     """Fixed-iteration RANSAC homography with masked fixed-capacity points.
 
@@ -313,6 +317,15 @@ def ransac_homography(
     ``threshold`` (OpenCV default 3.0).  Sampling is uniform over the valid
     points via a stable argsort compaction, so the behavior is deterministic
     given the seed.
+
+    polish_rounds > 0 re-estimates the inlier set against the refit model
+    and refits, LO-RANSAC style: draws whose consensus sets differ contract
+    to a common inlier fixed point, which removes most of the seed-to-seed
+    spread of the downstream metrics (the distortion score is a MIN over
+    frames of a RANSAC-dependent eigenvalue ratio, so a single divergent
+    draw moves the video-level value; see tests/fixtures/our_seed_variance_*
+    and /root/reference/meshflowstabilizer.py:1206-1212 — OpenCV's RANSAC
+    is internally deterministic, so the reference has no such spread).
     """
     n = early.shape[0]
     num_valid = jnp.sum(valid.astype(jnp.int32))
@@ -345,6 +358,29 @@ def ransac_homography(
 
     weights = best_mask.astype(early.dtype)
     h = estimate_homography(early, late, weights, refine_iterations)
+
+    if polish_rounds > 0:
+        thr2 = threshold * threshold
+
+        def polish_body(_, carry):
+            h_c, mask_c = carry
+            proj = apply_homography(h_c, early)
+            err2 = jnp.sum((proj - late) ** 2, axis=-1)
+            new_mask = (err2 < thr2) & valid & jnp.all(jnp.isfinite(h_c))
+            # A collapsing inlier set (< 4 points) keeps the previous round's
+            # mask: the model cannot be re-fit from fewer correspondences.
+            enough = jnp.sum(new_mask.astype(jnp.int32)) >= 4
+            new_mask = jnp.where(enough, new_mask, mask_c)
+            h_n = estimate_homography(
+                early, late, new_mask.astype(early.dtype), refine_iterations
+            )
+            h_n = jnp.where(jnp.all(jnp.isfinite(h_n)), h_n, h_c)
+            return h_n, new_mask
+
+        h, best_mask = jax.lax.fori_loop(
+            0, polish_rounds, polish_body, (h, best_mask)
+        )
+
     identity = jnp.eye(3, dtype=early.dtype)
     h = jnp.where(ok & jnp.all(jnp.isfinite(h)), h, identity)
     return h, best_mask & ok, ok

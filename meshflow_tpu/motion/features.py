@@ -133,6 +133,7 @@ def match_from_tracks(
             threshold=config.ransac_reproj_threshold,
             iterations=config.ransac_iterations,
             refine_iterations=config.homography_refine_iterations,
+            polish_rounds=config.ransac_polish_rounds,
         )
         return mask & ok_s
 

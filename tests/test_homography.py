@@ -120,6 +120,43 @@ def test_ransac_rejects_outliers(rng):
     assert np.median(err) < 1.0
 
 
+def test_ransac_polish_contracts_seed_spread(rng):
+    """LO-RANSAC polish rounds collapse the seed-to-seed model spread.
+
+    The distortion metric is a MIN over frames of a RANSAC-dependent
+    eigenvalue ratio (/root/reference/meshflowstabilizer.py:1206-1212), so
+    per-draw model wobble propagates straight into the video-level value.
+    With polish, draws whose initial consensus sets differ re-estimate the
+    inlier set against the refit model and converge to a common fixed
+    point.  Use a hard instance (noisy inliers + structured outliers) so
+    the unpolished spread is visible."""
+    h = random_homography(rng)
+    n, n_out = 96, 40
+    pts = rng.uniform(0, 640, size=(n, 2)).astype(np.float32)
+    pts2 = project(h, pts).astype(np.float32)
+    pts2 += rng.normal(scale=1.5, size=pts2.shape).astype(np.float32)
+    outlier_rows = rng.choice(n, size=n_out, replace=False)
+    # Structured outliers (a coherent shift) create competing consensus sets.
+    pts2[outlier_rows] += np.float32([14.0, -11.0])
+    valid = np.ones(n, bool)
+
+    def spread(polish_rounds):
+        models = []
+        for seed in range(8):
+            hh, _, ok = ransac_homography(
+                jnp.asarray(pts), jnp.asarray(pts2), jnp.asarray(valid),
+                jax.random.PRNGKey(seed), iterations=64,
+                polish_rounds=polish_rounds,
+            )
+            assert bool(ok)
+            models.append(np.asarray(hh).ravel())
+        models = np.stack(models)
+        return float(np.max(np.ptp(models, axis=0)))
+
+    s0, s2 = spread(0), spread(2)
+    assert s2 <= s0 * 0.5 + 1e-6, (s0, s2)
+
+
 def test_ransac_handles_too_few_points():
     pts = np.zeros((16, 2), np.float32)
     valid = np.zeros(16, bool)
