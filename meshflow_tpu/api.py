@@ -40,6 +40,17 @@ from meshflow_tpu.utils.profiling import StageTimer
 from meshflow_tpu.utils.transfer import device_to_host_u8, sync
 
 
+def _use_host_render(config: MeshFlowConfig) -> bool:
+    """Render routing: native C++ host warp vs on-device warp (see the
+    comment in _stabilize_frames; MESHFLOW_RENDER=auto|host|device)."""
+    import os as _os
+
+    from meshflow_tpu.render import host as host_render
+
+    mode = _os.environ.get("MESHFLOW_RENDER", "auto")
+    return host_render.available() if mode == "auto" else mode == "host"
+
+
 class MeshFlowStabilizer:
     """Drop-in replacement for the reference class (same constructor
     keywords, defaults, constants, and stabilize() contract)."""
@@ -200,9 +211,20 @@ class MeshFlowStabilizer:
         num_frames, h, w = frames_np.shape[:3]
         with timer.stage("host->device"):
             from meshflow_tpu import streaming as _streaming
+            from meshflow_tpu.motion import trackscale as _trackscale
 
+            # Track geometry (motion/trackscale.py): when the host renderer
+            # will produce the output pixels, only the d-downscaled track
+            # planes ever cross the wire; the device-render route uploads
+            # full frames (it needs them for the warp) and derives the
+            # track planes on device.
+            d_track = config.resolve_track_downscale(h, w)
+            if d_track > 1 and _use_host_render(config):
+                upload_np = _trackscale.box_downscale_host(frames_np, d_track)
+            else:
+                upload_np = frames_np
             frames = jnp.asarray(
-                _streaming.to_track_planes(frames_np, config)
+                _streaming.to_track_planes(upload_np, config)
             )
             sync(frames)
 
@@ -255,14 +277,44 @@ class MeshFlowStabilizer:
         chunk = min(self.CHUNK, num_frames)
         unstab_grid = jnp.asarray(grid.vertex_grid(config, h, w))
 
+        # Track geometry (motion/trackscale.py): tracking stages run at
+        # (th, tw).  `frames` arrives either already downscaled (host-render
+        # route: only track planes were uploaded) or at full resolution
+        # (device-render route), detected by shape.
+        from meshflow_tpu.motion import trackscale
+
+        d_track = config.resolve_track_downscale(h, w)
+        th, tw = config.track_shape(h, w)
+        frames_full = None
+        if frames.shape[1] == h and frames.shape[2] == w:
+            frames_full = frames
+            frames_track = (
+                trackscale.to_track_planes_dev(frames, config)
+                if d_track > 1
+                else frames
+            )
+        else:
+            frames_track = frames
+        sx, sy = w / tw, h / th
+
         with timer.stage("detect"):
-            keypoints, _ = prepare_frames(frames, config)
+            keypoints, _ = prepare_frames(frames_track, config)
             sync(keypoints.valid)
         with timer.stage("motion"):
             motion = estimate_motion_chunked(
-                keypoints, frames, jax.random.fold_in(self._key, 1), config, h, w,
+                keypoints, frames_track, jax.random.fold_in(self._key, 1),
+                config, th, tw,
                 chunk_pairs=max(chunk - 1, 1),
             )
+            if d_track > 1:
+                motion = motion._replace(
+                    displacements=trackscale.scale_velocities(
+                        motion.displacements, sx, sy
+                    ),
+                    homographies=trackscale.conjugate_homographies(
+                        motion.homographies, sx, sy
+                    ),
+                )
             sync(motion.displacements)
 
         with timer.stage("solver"):
@@ -289,12 +341,7 @@ class MeshFlowStabilizer:
 
         from meshflow_tpu.render import host as host_render
 
-        mode = _os.environ.get("MESHFLOW_RENDER", "auto")
-        use_host = (
-            host_render.available()
-            if mode == "auto"
-            else mode == "host"
-        )
+        use_host = _use_host_render(config)
         if config.track_planes == "gray" and not (
             use_host and host_render.available()
         ):
@@ -308,14 +355,16 @@ class MeshFlowStabilizer:
                 du_np = np.asarray(motion.displacements)
                 ds_np = np.asarray(stab_disp)
                 frames_np = getattr(self, "_frames_np_cache", None)
-                # Compare (F, H, W) only: under track_planes="gray" the
-                # device frames are single-plane while the host cache keeps
-                # the BGR pixels the renderer needs.
-                if frames_np is None or frames_np.shape[:3] != frames.shape[:3]:
-                    if config.track_planes == "gray":
+                # Compare the frame count only: under track_planes="gray"
+                # and/or track geometry the device frames are single-plane
+                # and/or downscaled while the host cache keeps the full
+                # BGR pixels the renderer needs.
+                if frames_np is None or frames_np.shape[0] != num_frames:
+                    if config.track_planes == "gray" or d_track > 1:
                         raise RuntimeError(
-                            "track_planes='gray' requires the decoded BGR "
-                            "frames on host (no device copy exists)."
+                            "track_planes='gray' / track_downscale > 1 "
+                            "require the decoded BGR frames on host (no "
+                            "full-resolution device copy exists)."
                         )
                     frames_np = device_to_host_u8(frames)
                 stabilized_np, crop_np = host_render.render_stabilized_host(
@@ -331,8 +380,25 @@ class MeshFlowStabilizer:
             # volume disappears.  "upload" ships the exact encoded pixels
             # (r2 behavior).
             metric_src = _os.environ.get("MESHFLOW_METRIC_SRC", "device")
+            if d_track > 1:
+                # Track geometry: ship the downscaled cropped planes (tiny)
+                # and compare downscaled-original vs downscaled-output, the
+                # conjugate of the full-resolution metric homography.
+                metric_src = "track"
             crop_dev = jnp.asarray(crop_np, jnp.int32)
-            if metric_src != "device":
+            if metric_src == "track":
+                from meshflow_tpu.streaming import to_track_planes
+
+                with timer.stage("host->device (cropped)"):
+                    cropped_dev = jnp.asarray(
+                        to_track_planes(
+                            trackscale.box_downscale_host(
+                                cropped_np, d_track
+                            ),
+                            config,
+                        )
+                    )
+            elif metric_src != "device":
                 from meshflow_tpu.streaming import to_track_planes
 
                 with timer.stage("host->device (cropped)"):
@@ -356,7 +422,7 @@ class MeshFlowStabilizer:
                 kps_c = jax.tree.map(
                     lambda a: pad_to(a[start:stop], chunk), keypoints
                 )
-                unstab_c = pad_to(frames[start:stop], chunk)
+                unstab_c = pad_to(frames_track[start:stop], chunk)
                 if metric_src == "device":
                     stab_c, _ = render_stabilized(
                         unstab_c,
@@ -377,8 +443,8 @@ class MeshFlowStabilizer:
                     jax.random.fold_in(self._key, 2),
                     jnp.asarray(start, jnp.int32),
                     config,
-                    h,
-                    w,
+                    th,
+                    tw,
                     use_pallas=_use_pallas_lk(),
                 )
                 ratios.append(r[: stop - start])
@@ -396,13 +462,19 @@ class MeshFlowStabilizer:
             padding = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
             return jnp.pad(a, padding, mode="edge")
 
+        if frames_full is None:
+            raise RuntimeError(
+                "on-device rendering needs full-resolution frames, but only "
+                "track planes were uploaded (is MESHFLOW_RENDER=host set "
+                "without the native renderer built?)"
+            )
         timer_render = timer.stage("warp+crop")
         timer_render.__enter__()
         stabilized_chunks = []  # kept padded so crop_frames compiles once
         crops = []
         for start in range(0, num_frames, chunk):
             stop = min(start + chunk, num_frames)
-            fr = pad_to(frames[start:stop], chunk)
+            fr = pad_to(frames_full[start:stop], chunk)
             du = pad_to(motion.displacements[start:stop], chunk)
             ds = pad_to(stab_disp[start:stop], chunk)
             stab_chunk, crop_chunk = render_stabilized(
@@ -436,15 +508,18 @@ class MeshFlowStabilizer:
         for start in range(0, num_frames, chunk):
             stop = min(start + chunk, num_frames)
             kps_c = jax.tree.map(lambda a: pad_to(a[start:stop], chunk), keypoints)
+            cropped_c = pad_to(cropped[start:stop], chunk)
+            if d_track > 1:
+                cropped_c = trackscale.to_track_planes_dev(cropped_c, config)
             r, d = cropping_and_distortion_scanned(
                 kps_c,
-                pad_to(frames[start:stop], chunk),
-                pad_to(cropped[start:stop], chunk),
+                pad_to(frames_track[start:stop], chunk),
+                cropped_c,
                 jax.random.fold_in(self._key, 2),
                 jnp.asarray(start, jnp.int32),
                 config,
-                h,
-                w,
+                th,
+                tw,
                 use_pallas=_use_pallas_lk(),
             )
             ratios.append(r[: stop - start])

@@ -79,6 +79,7 @@ def _motion_config_key(config) -> str:
         config.ransac_polish_rounds,
         config.homography_refine_iterations,
         config.track_planes,
+        config.track_downscale,
     )
     return repr(fields)
 

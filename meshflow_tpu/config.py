@@ -92,6 +92,23 @@ class MeshFlowConfig:
     # Gauss-Newton refinement iterations for least-squares homographies
     # (OpenCV refines with an LM solver capped at 10 iterations).
     homography_refine_iterations: int = 10
+    # Motion-estimation geometry.  The reference's parity contract lives
+    # entirely at its demo resolution (640x360, ~0.23 MP); above ~1 MP the
+    # per-pixel stages (FAST, pyramid packing, LK plane loads) dominate the
+    # device budget while the mesh the solver smooths stays 16x16.  With
+    # track_downscale = d > 1, detection, LK tracking, RANSAC, and the
+    # metric tracker all run on d x d box-downscaled frames; the solved
+    # vertex displacements scale back by (w/tw, h/th) at the render
+    # boundary (exact: the solver is linear in the displacements, and the
+    # adaptive weights are invariant under the conjugation
+    # H_full = S H_track S^-1, S = diag(sx, sy, 1) — see solver/weights).
+    # 0 = auto: the smallest d whose track area fits the track-pixel
+    # budget, i.e. d=1 through 480p (~0.41 MP, where full-resolution
+    # tracking is already cheap), 2 at 720p, 3 at 1080p, 6 at 4K — the
+    # latter three all land at or near the 640x360 demo geometry.
+    # 1 = always full resolution (the reference-parity geometry).
+    # Affects motion results, so it is part of the motion checkpoint key.
+    track_downscale: int = 0
     # Pixel planes the trackers consume.  "bgr" matches the reference,
     # which runs cv2.calcOpticalFlowPyrLK on 3-channel BGR subframes
     # (/root/reference/meshflowstabilizer.py:618-620) — LK gradients and
@@ -110,6 +127,28 @@ class MeshFlowConfig:
             raise ValueError("temporal_smoothing_radius must be positive")
         if self.track_planes not in ("bgr", "gray"):
             raise ValueError("track_planes must be 'bgr' or 'gray'")
+        if self.track_downscale < 0:
+            raise ValueError("track_downscale must be >= 0 (0 = auto)")
+
+    # Track area the auto policy fits: just above 854x480, so every
+    # geometry where full-resolution tracking is already fast (the demo
+    # suite's 640x360 included) keeps d=1 and the exact reference
+    # geometry; 720p and up downscale to (at or near) 640x360.
+    TRACK_PIXEL_BUDGET = int(854 * 480 * 1.05)
+
+    def resolve_track_downscale(self, frame_height: int, frame_width: int) -> int:
+        """Concrete box-downscale factor for this frame geometry."""
+        if self.track_downscale:
+            return self.track_downscale
+        d = 1
+        while (frame_height // d) * (frame_width // d) > self.TRACK_PIXEL_BUDGET:
+            d += 1
+        return d
+
+    def track_shape(self, frame_height: int, frame_width: int) -> Tuple[int, int]:
+        """(track_height, track_width) the motion stages run at."""
+        d = self.resolve_track_downscale(frame_height, frame_width)
+        return frame_height // d, frame_width // d
 
     # --- derived static geometry ---------------------------------------
     @property

@@ -44,6 +44,7 @@ from meshflow_tpu.metrics.quality import (
     cropping_and_distortion_scanned,
     stability_score,
 )
+from meshflow_tpu.motion import trackscale
 from meshflow_tpu.motion.pipeline import (
     MotionEstimate,
     integrate_velocities,
@@ -255,6 +256,12 @@ def stabilize_streamed(
     chunk = min(chunk, max(num_frames, 2))
     acc = _Acc(timer)
 
+    # Track geometry (motion/trackscale.py): all tracking stages run at
+    # (th, tw); results scale back to (h, w) right after the pair scan.
+    d_track = config.resolve_track_downscale(h, w)
+    th, tw = config.track_shape(h, w)
+    sx, sy = w / tw, h / th
+
     ckpt_path = None
     loaded = None
     if checkpoint_dir:
@@ -363,7 +370,7 @@ def stabilize_streamed(
         if host_cache is not None:
             host_cache.append(batch)
         t0 = time.perf_counter()
-        batch = to_track_planes(batch, config)
+        batch = to_track_planes(trackscale.box_downscale_host(batch, d_track), config)
         window_np = (
             batch
             if halo_np is None
@@ -387,7 +394,7 @@ def stabilize_streamed(
             next_keep += part.shape[0]
         vel, homo, ok = scan_fn(
             kps_c, frames_c, key_motion,
-            jnp.asarray(pair_base, jnp.int32), config, h, w,
+            jnp.asarray(pair_base, jnp.int32), config, th, tw,
         )
         real_pairs = min(chunk - 1, max(num_frames - 1 - pair_base, 0))
         real_pairs = min(real_pairs, n_win - 1)
@@ -406,6 +413,17 @@ def stabilize_streamed(
     homographies = jnp.concatenate(homo_parts, axis=0)
     pair_ok = jnp.concatenate(ok_parts, axis=0)
     motion = integrate_velocities(velocities, homographies, pair_ok)
+    if d_track > 1:
+        # Scale AFTER integration (bit-identical to the in-memory path,
+        # which scales the integrated displacements).
+        motion = motion._replace(
+            displacements=trackscale.scale_velocities(
+                motion.displacements, sx, sy
+            ),
+            homographies=trackscale.conjugate_homographies(
+                motion.homographies, sx, sy
+            ),
+        )
     keypoints = jax.tree.map(
         lambda *parts: jnp.concatenate(parts, axis=0),
         *[p for p, _ in kps_parts],
@@ -453,6 +471,8 @@ def _solve_and_render(
 ):
     """Solver + crop + pass 2 (shared by the fresh and resumed paths)."""
     h, w = info.height, info.width
+    d_track = config.resolve_track_downscale(h, w)
+    th, tw = config.track_shape(h, w)
 
     # ---- solve
     t0 = time.perf_counter()
@@ -487,6 +507,14 @@ def _solve_and_render(
     import os as _os
 
     metric_src = _os.environ.get("MESHFLOW_METRIC_SRC", "device")
+    if d_track > 1:
+        # Track geometry: the metric pass compares the d-downscaled
+        # original against the d-downscaled output video, so the producer
+        # ships tiny track planes of each cropped chunk (~1/(d*d) of the
+        # pixel volume) instead of deriving full-resolution cropped frames
+        # on device.  This measures the real encoded pixels, like the
+        # reference (meshflowstabilizer.py:1195-1197).
+        metric_src = "track"
     unstab_grid = None
     if metric_src == "device":
         from meshflow_tpu.render.stabilize import (
@@ -587,7 +615,10 @@ def _solve_and_render(
                     break
                 t0 = time.perf_counter()
                 out_view = None
-                if metric_src == "device":
+                if metric_src in ("device", "track"):
+                    # cropped pixels are consumed synchronously below (the
+                    # queue retains at most a small downscaled copy), so one
+                    # persistent buffer can host every chunk's output.
                     if out_buf is None or out_buf.shape[0] < n:
                         out_buf = np.empty_like(batch)
                     out_view = out_buf[:n]
@@ -599,6 +630,15 @@ def _solve_and_render(
                     config,
                     out=out_view,
                 )
+                if metric_src == "track":
+                    cropped_item = to_track_planes(
+                        trackscale.box_downscale_host(cropped_np, d_track),
+                        config,
+                    )
+                elif metric_src == "device":
+                    cropped_item = None
+                else:
+                    cropped_item = cropped_np
                 acc.add("warp+crop (host)", time.perf_counter() - t0)
                 t0 = time.perf_counter()
                 writer.write(cropped_np)
@@ -608,8 +648,11 @@ def _solve_and_render(
                         start,
                         None
                         if start + n <= res_end
-                        else to_track_planes(batch, config),
-                        cropped_np if metric_src != "device" else None,
+                        else to_track_planes(
+                            trackscale.box_downscale_host(batch, d_track),
+                            config,
+                        ),
+                        cropped_item,
                         n,
                     )
                 ):
@@ -665,7 +708,7 @@ def _solve_and_render(
                 t0 = time.perf_counter()
                 out_view = None
                 buf = None
-                if metric_src == "device":
+                if metric_src in ("device", "track"):
                     # Rotating buffer ring: encode recycles buffers after
                     # the writer consumes them, so warp of chunk k+1 never
                     # overwrites pixels encode is still reading of chunk k.
@@ -687,7 +730,9 @@ def _solve_and_render(
                 planes = (
                     None
                     if start + n <= res_end
-                    else to_track_planes(batch, config)
+                    else to_track_planes(
+                        trackscale.box_downscale_host(batch, d_track), config
+                    )
                 )
                 acc.add("warp+crop (host)", time.perf_counter() - t0)
                 if not _qput(q_enc, (start, planes, cropped_np, n, buf)):
@@ -707,12 +752,22 @@ def _solve_and_render(
                 start, planes, cropped_np, n, buf = item
                 t0 = time.perf_counter()
                 writer.write(cropped_np)
+                if metric_src == "track":
+                    # Downscale before recycling the buffer: the queue
+                    # retains only this small copy of the cropped pixels.
+                    cropped_item = to_track_planes(
+                        trackscale.box_downscale_host(cropped_np, d_track),
+                        config,
+                    )
+                elif metric_src == "device":
+                    cropped_item = None
+                else:
+                    cropped_item = cropped_np
                 acc.add("encode", time.perf_counter() - t0)
                 if buf is not None:
                     # Pixels are in the encoder now; recycle the buffer.
                     buf_pool.put(buf)
-                    cropped_np = None
-                if not _put((start, planes, cropped_np, n)):
+                if not _put((start, planes, cropped_item, n)):
                     return
         except BaseException as e:
             producer_error.append(e)
@@ -754,6 +809,9 @@ def _solve_and_render(
                     w,
                 )
                 cropped_c = _crop_frames_dev(stab_c, crop_dev, h, w)
+            elif metric_src == "track":
+                # already track planes (downscaled in the producer)
+                cropped_c = _pad_dev(jnp.asarray(cropped_np), chunk)
             else:
                 cropped_c = _pad_dev(
                     jnp.asarray(to_track_planes(cropped_np, config)), chunk
@@ -766,7 +824,7 @@ def _solve_and_render(
             )
             r, d = cropping_and_distortion_scanned(
                 kps_c, unstab_c, cropped_c, key_metrics,
-                jnp.asarray(start, jnp.int32), config, h, w,
+                jnp.asarray(start, jnp.int32), config, th, tw,
                 use_pallas=use_pallas_lk(),
             )
             ratio_parts.append(r[:n])

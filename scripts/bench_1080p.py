@@ -45,6 +45,7 @@ def device_only_pass(parts, num_frames, h, w, config, chunk):
         cropping_and_distortion_scanned,
         stability_score,
     )
+    from meshflow_tpu.motion import trackscale
     from meshflow_tpu.motion.pipeline import (
         integrate_velocities,
         pair_velocity_scan,
@@ -66,6 +67,18 @@ def device_only_pass(parts, num_frames, h, w, config, chunk):
     scan_fn = (
         pair_velocity_scan_pallas if use_pallas_lk() else pair_velocity_scan
     )
+    # Track geometry (motion/trackscale.py, HEAD's shipped pipeline): all
+    # tracking runs on d x d box-downscaled planes derived on device;
+    # results scale back after integration.  Render stays full-res.
+    d_track = config.resolve_track_downscale(h, w)
+    th, tw = config.track_shape(h, w)
+
+    def to_track(frames_c):
+        if d_track == 1:
+            return frames_c
+        if frames_c.shape[-1] == 3 and config.track_planes == "gray":
+            return trackscale.to_track_planes_dev(frames_c, config)
+        return trackscale.box_downscale_dev(frames_c, d_track)
 
     def pad_to(a, n):
         padding = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
@@ -77,13 +90,15 @@ def device_only_pass(parts, num_frames, h, w, config, chunk):
     pair_base = 0
     while pair_base < num_frames - 1:
         n_win = min(chunk, num_frames - pair_base)
-        frames_c = pad_to(resident_slice(parts, pair_base, n_win), chunk)
+        frames_c = to_track(
+            pad_to(resident_slice(parts, pair_base, n_win), chunk)
+        )
         kps_c, _ = prepare_frames(frames_c, config)
         new0 = 0 if pair_base == 0 else 1
         kps_parts.append(jax.tree.map(lambda a: a[new0:n_win], kps_c))
         vel, homo, ok = scan_fn(
             kps_c, frames_c, jax.random.fold_in(key, 1),
-            jnp.asarray(pair_base, jnp.int32), config, h, w,
+            jnp.asarray(pair_base, jnp.int32), config, th, tw,
         )
         real_pairs = min(chunk - 1, n_win - 1)
         vel_parts.append(vel[:real_pairs])
@@ -95,6 +110,15 @@ def device_only_pass(parts, num_frames, h, w, config, chunk):
         jnp.concatenate(homo_parts, axis=0),
         jnp.concatenate(ok_parts, axis=0),
     )
+    if d_track > 1:
+        motion = motion._replace(
+            displacements=trackscale.scale_velocities(
+                motion.displacements, w / tw, h / th
+            ),
+            homographies=trackscale.conjugate_homographies(
+                motion.homographies, w / tw, h / th
+            ),
+        )
     keypoints = jax.tree.map(
         lambda *p: jnp.concatenate(p, axis=0), *kps_parts
     )
@@ -132,8 +156,9 @@ def device_only_pass(parts, num_frames, h, w, config, chunk):
             lambda a: pad_to(a[start:stop], chunk), keypoints
         )
         r, d = cropping_and_distortion_scanned(
-            kps_c, fr, cropped_c, jax.random.fold_in(key, 2),
-            jnp.asarray(start, jnp.int32), config, h, w,
+            kps_c, to_track(fr), to_track(cropped_c),
+            jax.random.fold_in(key, 2),
+            jnp.asarray(start, jnp.int32), config, th, tw,
             use_pallas=use_pallas_lk(),
         )
         ratios.append(r[: stop - start])

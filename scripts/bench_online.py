@@ -20,6 +20,63 @@ from meshflow_tpu.io.video import read_video  # noqa: E402
 from meshflow_tpu.online import OnlineMeshFlowStabilizer  # noqa: E402
 
 
+def _chained_compute(frames, planes, n_chain=100):
+    """Device-step compute cost with the tunnel RTT amortized out.
+
+    The per-frame loop above pulls (c_t, p_t) every frame, so each sample
+    carries a full tunnel round trip (~40 ms here).  This pass pre-uploads
+    the frames, chains n_chain online_motion_solve steps with no
+    intermediate pull, and synchronizes once at the end: wall / n_chain is
+    the true device-step cost (the single trailing RTT adds < 0.5 ms/frame
+    at n_chain=100).  The on-host latency claim (BASELINE.md's 33 ms
+    budget) is judged against this bucket, not the tunnel-RTT-inflated
+    p50.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from meshflow_tpu.config import MeshFlowConfig
+    from meshflow_tpu.online import OnlineState, online_motion_solve, online_prepare
+    from meshflow_tpu.render import host as host_render
+    from meshflow_tpu.streaming import to_track_planes
+
+    if not host_render.streaming_available():
+        return {"compute_ms_per_frame": None,
+                "rtt_excluded": "native renderer not built; bucket skipped"}
+    cfg = MeshFlowConfig(track_planes=planes)
+    h, w = frames[0].shape[:2]
+    key = jax.random.PRNGKey(0)
+    if planes == "gray":
+        dev_frames = [
+            jnp.asarray(to_track_planes(f[None], cfg)[0]) for f in frames
+        ]
+    else:
+        dev_frames = [jnp.asarray(f) for f in frames]
+    omega = cfg.temporal_smoothing_radius
+    zeros = jnp.zeros((omega + 1, cfg.vertex_rows, cfg.vertex_cols, 2),
+                      jnp.float32)
+    kps0, pyr0 = online_prepare(dev_frames[0], cfg, h, w)
+    state = OnlineState(prev_pyr=pyr0, prev_kps=kps0, unstab_window=zeros,
+                        stab_window=zeros, step=jnp.asarray(0, jnp.int32))
+    # warmup/compile step + sync
+    state, c_t, p_t = online_motion_solve(state, dev_frames[1], key, cfg,
+                                          h, w, 0, 0.8)
+    np.asarray(jnp.stack([c_t, p_t]))
+    t0 = time.perf_counter()
+    for i in range(n_chain):
+        state, c_t, p_t = online_motion_solve(
+            state, dev_frames[(i + 2) % len(dev_frames)], key, cfg, h, w,
+            0, 0.8,
+        )
+    np.asarray(jnp.stack([c_t, p_t]))  # single trailing sync
+    wall = time.perf_counter() - t0
+    return {
+        "compute_ms_per_frame": round(wall / n_chain * 1000, 1),
+        "rtt_excluded": f"{n_chain} chained device steps, one trailing "
+        "pull; includes per-frame host->device upload",
+    }
+
+
 def main():
     out_file = None
     argv = list(sys.argv[1:])
@@ -35,7 +92,9 @@ def main():
 
     record = {
         "bench": "online low-latency mode, 640x360 (per-frame wall clock)",
-        "note": "~40 ms of each latency is this environment's tunnel RTT",
+        "note": "~40 ms of each e2e latency is this environment's tunnel "
+        "RTT; compute_ms_per_frame is the device-step cost with the RTT "
+        "amortized out (see rtt_excluded note)",
     }
     for planes in ("bgr", "gray"):
         stab = OnlineMeshFlowStabilizer(
@@ -55,12 +114,14 @@ def main():
             "mean_ms": round(float(warm.mean()), 1),
             "first_frame_ms": round(latencies[1] * 1000),
         }
+        record[planes].update(_chained_compute(frames, planes))
         print(
             f"online latency [{planes}] over {len(warm)} frames: "
             f"p50={record[planes]['p50_ms']}ms "
             f"p90={record[planes]['p90_ms']}ms "
             f"mean={record[planes]['mean_ms']}ms "
-            f"(first-frame incl compile: {record[planes]['first_frame_ms']}ms)"
+            f"(first-frame incl compile: {record[planes]['first_frame_ms']}ms) "
+            f"compute-only {record[planes].get('compute_ms_per_frame')}ms"
         )
     if out_file:
         with open(out_file, "w") as f:
