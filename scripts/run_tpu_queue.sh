@@ -99,6 +99,17 @@ run_step make_1080p_clip 1800 bench_data/video-1-1080p.mp4 \
   python scripts/make_bench_clips.py 1080p
 run_step bench_1080p   7200 BENCH_1080P.json \
   python scripts/bench_1080p.py --out BENCH_1080P.json
+# Variance fixtures are re-measured with the current estimator and
+# committed BEFORE the suite run they gate (round-4 verdict task 4:
+# pre-registration; a same-commit fixture refresh bounds nothing).
+run_step variance_refresh 14400 tests/fixtures/our_seed_variance_video-10_constant-high.json \
+  bash scripts/refresh_variance.sh
+run_step suite_refresh 14400 SUITE_RESULTS.json \
+  bash -c 'python scripts/run_suite.py && JAX_PLATFORMS=cpu python -m pytest tests/test_suite_results.py::test_suite_parity_gates tests/test_suite_results.py::test_suite_faster_than_reference -q'
+# Pixel parity vs the reference's 28 golden videos: pure host
+# post-processing of the suite outputs in /tmp/suite-*.m4v.
+run_step golden_psnr 7200 GOLDEN_PSNR.json \
+  bash -c 'python scripts/golden_psnr.py && JAX_PLATFORMS=cpu python -m pytest tests/test_suite_results.py::test_golden_video_pixel_parity -q'
 run_step bench_online  2400 BENCH_ONLINE.json \
   python scripts/bench_online.py 120 --out BENCH_ONLINE.json
 run_step bench_1080p_mesh64 10800 BENCH_1080P_MESH64.json \
@@ -107,7 +118,5 @@ run_step make_4k_clip 1800 bench_data/video-1-4k.mp4 \
   python scripts/make_bench_clips.py 4k
 run_step bench_4k 7200 BENCH_4K.json \
   python scripts/bench_4k.py --out BENCH_4K.json
-run_step suite_refresh 14400 SUITE_RESULTS.json \
-  bash -c 'python scripts/run_suite.py && JAX_PLATFORMS=cpu python -m pytest tests/test_suite_results.py -q'
 
 note "queue done"
