@@ -87,6 +87,7 @@ class MeshFlowStabilizer:
         seed: int = 0,
         checkpoint_dir: str | None = None,
         track_planes: str | None = None,
+        compute_metrics: bool | None = None,
     ):
         if config is None:
             config = MeshFlowConfig(
@@ -116,6 +117,19 @@ class MeshFlowStabilizer:
             import dataclasses as _dc
 
             config = _dc.replace(config, track_planes=track_planes)
+        # Serving mode (skip the cropping/distortion evaluation pass —
+        # see the config field's docstring).  Priority: constructor
+        # argument > MESHFLOW_COMPUTE_METRICS env (0 disables) > config.
+        if compute_metrics is None:
+            env_cm = _env_os.environ.get("MESHFLOW_COMPUTE_METRICS")
+            if env_cm is not None:
+                compute_metrics = env_cm not in ("0", "false", "no")
+        if compute_metrics is not None and (
+            compute_metrics != config.compute_metrics
+        ):
+            import dataclasses as _dc
+
+            config = _dc.replace(config, compute_metrics=compute_metrics)
         self.config = config
         self.visualize = config.visualize
         self._key = jax.random.PRNGKey(seed)
@@ -372,6 +386,14 @@ class MeshFlowStabilizer:
                 )
                 cropped_np = host_render.crop_frames_host(stabilized_np, crop_np)
 
+            if not config.compute_metrics:
+                # Serving mode (config.compute_metrics): skip the
+                # cropping/distortion pass; stability is ~free.
+                stability = stability_score(stab_disp)
+                sync(stability)
+                nan = jnp.asarray(float("nan"), jnp.float32)
+                return cropped_np, nan, nan, stability
+
             # Metric-pass frame source.  "device" (default) re-derives the
             # cropped frames on device from the already-resident unstab
             # frames + displacement fields — the host-rendered twin differs
@@ -500,6 +522,14 @@ class MeshFlowStabilizer:
         cropped = jnp.concatenate(cropped_chunks, axis=0)
         sync(cropped)
         timer_render.__exit__(None, None, None)
+
+        if not config.compute_metrics:
+            # Serving mode (config.compute_metrics): skip the
+            # cropping/distortion pass; stability is ~free.
+            stability = stability_score(stab_disp)
+            sync(stability)
+            nan = jnp.asarray(float("nan"), jnp.float32)
+            return cropped, nan, nan, stability
 
         timer_metrics = timer.stage("metrics")
         timer_metrics.__enter__()

@@ -99,6 +99,13 @@ def build_parser() -> argparse.ArgumentParser:
         "(recommended at >=1080p, slightly different track survival)",
     )
     p.add_argument(
+        "--no-metrics",
+        action="store_true",
+        help="serving mode: skip the cropping-ratio/distortion evaluation "
+        "pass (the largest device cost at >= 1080p); those two scores "
+        "print as NaN, the output video is bit-identical",
+    )
+    p.add_argument(
         "--json", action="store_true", help="print metrics as one JSON line"
     )
     return p
@@ -123,6 +130,7 @@ def main(argv=None) -> int:
         visualize=args.visualize,
         seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,
+        compute_metrics=not args.no_metrics,
     )
     t0 = time.perf_counter()
     cropping_ratio, distortion_score, stability_score = stabilizer.stabilize(

@@ -119,6 +119,21 @@ class MeshFlowConfig:
     # so keypoints are identical).  Affects motion results, so it is part
     # of the motion checkpoint key.
     track_planes: str = "bgr"
+    # Serving mode.  The reference computes its three quality scores
+    # inside stabilize() unconditionally — the cropping-ratio/distortion
+    # pass re-runs the full feature-match stack between every
+    # unstabilized frame and its cropped output
+    # (/root/reference/meshflowstabilizer.py:1195-1197), which is the
+    # single largest device bucket at >= 1080p (metric LK tracking,
+    # BENCH_1080P.json).  Those scores are an EVALUATION artifact: a
+    # production serving path only needs the stabilized video.  With
+    # compute_metrics = False the cropping/distortion pass (and its host
+    # downscales + uploads) is skipped entirely and stabilize() returns
+    # NaN for cropping_ratio and distortion_score; stability_score is
+    # still returned (it derives from the solver state already in hand,
+    # /root/reference/meshflowstabilizer.py:1216-1259, ~free).  The
+    # output video is bit-identical either way.
+    compute_metrics: bool = True
 
     def __post_init__(self):
         if self.mesh_row_count < 1 or self.mesh_col_count < 1:

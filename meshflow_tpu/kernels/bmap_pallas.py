@@ -37,6 +37,7 @@ render.stabilize.use_bmap_pallas).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -287,6 +288,12 @@ def _rows_per_block(
     # Cap the (cells_pad, bp) one-hot operand near 8 MB of VMEM (dense
     # 64x64 meshes shrink the block), and otherwise target ~8K pixels
     # per program to bound per-program dispatch overhead.
+    # MESHFLOW_BMAP_ROWS overrides the row count (A/B probing only).
+    forced = os.environ.get("MESHFLOW_BMAP_ROWS")
+    if forced:
+        rows = int(forced)
+        if frame_height % rows == 0:
+            return rows
     max_bp = max(frame_width, (8 << 20) // (4 * cells_pad))
     target = max(1, min(8192, max_bp) // frame_width)
     rows = 1

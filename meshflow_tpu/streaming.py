@@ -515,8 +515,13 @@ def _solve_and_render(
         # on device.  This measures the real encoded pixels, like the
         # reference (meshflowstabilizer.py:1195-1197).
         metric_src = "track"
+    # Serving mode (config.compute_metrics = False): pass 2 still warps,
+    # crops, and encodes every frame (bit-identical output), but no
+    # metric items are built or dispatched — the consumer drains the
+    # queue so the host pipeline's flow control is unchanged.
+    do_metrics = config.compute_metrics
     unstab_grid = None
-    if metric_src == "device":
+    if do_metrics and metric_src == "device":
         from meshflow_tpu.render.stabilize import (
             crop_frames as _crop_frames_dev,
             render_stabilized as _render_stabilized_dev,
@@ -630,7 +635,9 @@ def _solve_and_render(
                     config,
                     out=out_view,
                 )
-                if metric_src == "track":
+                if not do_metrics:
+                    cropped_item = None
+                elif metric_src == "track":
                     cropped_item = to_track_planes(
                         trackscale.box_downscale_host(cropped_np, d_track),
                         config,
@@ -647,7 +654,7 @@ def _solve_and_render(
                     (
                         start,
                         None
-                        if start + n <= res_end
+                        if (not do_metrics or start + n <= res_end)
                         else to_track_planes(
                             trackscale.box_downscale_host(batch, d_track),
                             config,
@@ -729,7 +736,7 @@ def _solve_and_render(
                 )
                 planes = (
                     None
-                    if start + n <= res_end
+                    if (not do_metrics or start + n <= res_end)
                     else to_track_planes(
                         trackscale.box_downscale_host(batch, d_track), config
                     )
@@ -752,7 +759,9 @@ def _solve_and_render(
                 start, planes, cropped_np, n, buf = item
                 t0 = time.perf_counter()
                 writer.write(cropped_np)
-                if metric_src == "track":
+                if not do_metrics:
+                    cropped_item = None
+                elif metric_src == "track":
                     # Downscale before recycling the buffer: the queue
                     # retains only this small copy of the cropped pixels.
                     cropped_item = to_track_planes(
@@ -791,6 +800,8 @@ def _solve_and_render(
             if item is None:
                 break
             start, batch, cropped_np, n = item
+            if not do_metrics:
+                continue  # serving mode: drain for flow control only
             t0 = time.perf_counter()
             if batch is None:
                 unstab_c = _pad_dev(
@@ -859,8 +870,12 @@ def _solve_and_render(
     acc.add("encode", time.perf_counter() - t0)
 
     t0 = time.perf_counter()
-    cropping_ratio = jnp.mean(jnp.concatenate(ratio_parts))
-    distortion_score = jnp.min(jnp.concatenate(dist_parts))
+    if do_metrics:
+        cropping_ratio = jnp.mean(jnp.concatenate(ratio_parts))
+        distortion_score = jnp.min(jnp.concatenate(dist_parts))
+    else:
+        cropping_ratio = jnp.asarray(float("nan"), jnp.float32)
+        distortion_score = jnp.asarray(float("nan"), jnp.float32)
     stability = stability_score(stab_disp)
     sync(cropping_ratio, distortion_score, stability)
     acc.add("metrics (sync)", time.perf_counter() - t0)

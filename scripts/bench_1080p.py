@@ -30,7 +30,7 @@ CLIP = os.path.join(
 )
 
 
-def device_only_pass(parts, num_frames, h, w, config, chunk):
+def device_only_pass(parts, num_frames, h, w, config, chunk, compute_metrics=True):
     """Full compute pipeline with frames already resident, O(chunk) HBM
     for pixels beyond the input: windowed motion (mirrors streaming
     pass 1) -> solve -> per-chunk device render + crop/stretch + metric
@@ -152,6 +152,11 @@ def device_only_pass(parts, num_frames, h, w, config, chunk):
             unstab_grid, config, h, w,
         )
         cropped_c = crop_frames(stab_c, crop, h, w)
+        if not compute_metrics:
+            # Serving mode (config.compute_metrics): the cropped chunk is
+            # the product; sync it like the metric scalars would have.
+            sync(cropped_c)
+            continue
         kps_c = jax.tree.map(
             lambda a: pad_to(a[start:stop], chunk), keypoints
         )
@@ -163,11 +168,17 @@ def device_only_pass(parts, num_frames, h, w, config, chunk):
         )
         ratios.append(r[: stop - start])
         dists.append(d[: stop - start])
-    cr = jnp.mean(jnp.concatenate(ratios))
-    ds = jnp.min(jnp.concatenate(dists))
+    if compute_metrics:
+        cr = jnp.mean(jnp.concatenate(ratios))
+        ds = jnp.min(jnp.concatenate(dists))
+    else:
+        cr = jnp.asarray(float("nan"))
+        ds = jnp.asarray(float("nan"))
     ss = stability_score(stab_disp)
     sync(cr, ds, ss)
-    stages["render+metrics"] = time.perf_counter() - t2
+    stages["render+metrics" if compute_metrics else "render"] = (
+        time.perf_counter() - t2
+    )
     dt = time.perf_counter() - t0
     return dt, (float(cr), float(ds), float(ss)), {
         k: round(v, 2) for k, v in stages.items()
@@ -286,6 +297,20 @@ def main():
     }
     checkpoint(results)
 
+    # Serving mode (compute_metrics=False): same pipeline minus the
+    # cropping/distortion evaluation pass — the production configuration.
+    dt, _, serve_stages = device_only_pass(
+        parts, nf, h, w, cfg, chunk, compute_metrics=False
+    )
+    results["device_only_serve"] = {
+        "seconds": round(dt, 2),
+        "fps": round(info.num_frames / dt, 3),
+        "stages": serve_stages,
+        "note": "as device_only but compute_metrics=False (serving mode: "
+        "no cropping/distortion evaluation pass)",
+    }
+    checkpoint(results)
+
     # Device-only, gray planes (resident single-plane frames).  Free the
     # BGR copy first: 3 GB + 1 GB of resident frames plus the pass's
     # working set would crowd this shared chip's HBM.
@@ -315,6 +340,18 @@ def main():
         "stages": gdev_stages,
         "note": "as device_only but track_planes=gray single-plane frames",
     }
+    checkpoint(results)
+
+    dt, _, gserve_stages = device_only_pass(
+        gparts, nf, h, w, gray_cfg, chunk, compute_metrics=False
+    )
+    results["device_only_gray_serve"] = {
+        "seconds": round(dt, 2),
+        "fps": round(info.num_frames / dt, 3),
+        "stages": gserve_stages,
+        "note": "gray planes + compute_metrics=False (production serving "
+        "configuration)",
+    }
 
     record = {
         "bench": label,
@@ -332,6 +369,12 @@ def main():
         ),
         "realtime_factor_device_only_gray": round(
             results["device_only_gray"]["fps"] / info.fps, 3
+        ),
+        "realtime_factor_device_only_serve": round(
+            results["device_only_serve"]["fps"] / info.fps, 3
+        ),
+        "realtime_factor_device_only_gray_serve": round(
+            results["device_only_gray_serve"]["fps"] / info.fps, 3
         ),
         **results,
     }

@@ -273,3 +273,47 @@ def test_checkpoint_resume_identical(tmp_path, rng, monkeypatch):
         if not ok1:
             break
         np.testing.assert_array_equal(f1, f2)
+
+
+def test_serving_mode_skips_metrics(tmp_path, rng):
+    """compute_metrics=False (serving mode) must keep the output video
+    byte-identical and the stability score unchanged, while skipping the
+    cropping/distortion evaluation pass (returned as NaN).  The metric
+    pass is the largest >=1080p device bucket (BENCH_1080P.json), and the
+    reference computes it unconditionally inside stabilize()
+    (/root/reference/meshflowstabilizer.py:1160-1212)."""
+    inp = tmp_path / "in.mp4"
+    _write_clip(inp, rng)  # 8 frames: same shapes as the e2e test above
+
+    out_eval = tmp_path / "out-eval.mp4"
+    ratio, distortion, stability = MeshFlowStabilizer().stabilize(
+        str(inp), str(out_eval), 0
+    )
+
+    out_serve = tmp_path / "out-serve.mp4"
+    ratio_s, distortion_s, stability_s = MeshFlowStabilizer(
+        compute_metrics=False
+    ).stabilize(str(inp), str(out_serve), 0)
+
+    assert np.isnan(ratio_s) and np.isnan(distortion_s)
+    assert np.isfinite([ratio, distortion, stability]).all()
+    assert stability_s == stability
+    with open(out_eval, "rb") as f1, open(out_serve, "rb") as f2:
+        assert f1.read() == f2.read()
+
+
+def test_serving_mode_env_and_cli_flag(tmp_path, rng, monkeypatch):
+    """MESHFLOW_COMPUTE_METRICS=0 and the CLI --no-metrics flag both route
+    to the serving mode; an explicit constructor True wins over the env."""
+    monkeypatch.setenv("MESHFLOW_COMPUTE_METRICS", "0")
+    assert MeshFlowStabilizer().config.compute_metrics is False
+    assert MeshFlowStabilizer(compute_metrics=True).config.compute_metrics
+    monkeypatch.delenv("MESHFLOW_COMPUTE_METRICS")
+
+    from meshflow_tpu.cli import build_parser
+
+    inp, out = str(tmp_path / "i.mp4"), str(tmp_path / "o.mp4")
+    args = build_parser().parse_args([inp, out, "--no-metrics"])
+    assert args.no_metrics
+    args = build_parser().parse_args([inp, out])
+    assert not args.no_metrics
