@@ -191,18 +191,24 @@ def stabilize_sharded(
         cropped_local = crop_frames(stabilized_local, crop, frame_height, frame_width)
 
         # --- metrics ------------------------------------------------------
-        ratios, distortions = cropping_and_distortion_scanned(
-            jax.tree.map(lambda a: a[:block], keypoints),
-            frames_local,
-            cropped_local,
-            jax.random.fold_in(key, 10_000),
-            idx * block,
-            config,
-            frame_height,
-            frame_width,
-        )
-        cropping_ratio = jax.lax.pmean(jnp.mean(ratios), _AXIS)
-        distortion_score = jax.lax.pmin(jnp.min(distortions), _AXIS)
+        # Serving mode (config is static, so this prunes the whole metric
+        # tracker from the compiled program — see config.compute_metrics).
+        if config.compute_metrics:
+            ratios, distortions = cropping_and_distortion_scanned(
+                jax.tree.map(lambda a: a[:block], keypoints),
+                frames_local,
+                cropped_local,
+                jax.random.fold_in(key, 10_000),
+                idx * block,
+                config,
+                frame_height,
+                frame_width,
+            )
+            cropping_ratio = jax.lax.pmean(jnp.mean(ratios), _AXIS)
+            distortion_score = jax.lax.pmin(jnp.min(distortions), _AXIS)
+        else:
+            cropping_ratio = jnp.asarray(float("nan"), jnp.float32)
+            distortion_score = jnp.asarray(float("nan"), jnp.float32)
 
         # stability from the replicated solver output (identical everywhere)
         profiles = jnp.diff(stab_full, axis=0)

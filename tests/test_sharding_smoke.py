@@ -63,3 +63,27 @@ def test_sharded_pipeline_smoke(rng):
     assert np.isfinite([float(cr), float(ds), float(ss)]).all()
     assert 0 <= crop[0] <= crop[2] < w
     assert 0 <= crop[1] <= crop[3] < h
+
+
+def test_sharded_serving_mode(rng):
+    """compute_metrics=False prunes the metric tracker from the sharded
+    program: identical cropped pixels and crop window, NaN scores."""
+    import dataclasses
+
+    config = _tiny_config()
+    h, w = 96, 128
+    frames = _tiny_frames(rng, 24, h, w)
+    mesh = make_mesh(jax.devices("cpu")[:2])
+    sharded = jax.device_put(jnp.asarray(frames), frame_sharding(mesh))
+    key = jax.random.PRNGKey(0)
+    cropped, crop, cr, ds, ss = stabilize_sharded(
+        sharded, key, config, h, w, mesh
+    )
+    serve_cfg = dataclasses.replace(config, compute_metrics=False)
+    cropped2, crop2, cr2, ds2, ss2 = stabilize_sharded(
+        sharded, key, serve_cfg, h, w, mesh
+    )
+    np.testing.assert_array_equal(np.asarray(cropped), np.asarray(cropped2))
+    np.testing.assert_array_equal(np.asarray(crop), np.asarray(crop2))
+    assert np.isnan(float(cr2)) and np.isnan(float(ds2))
+    assert float(ss2) == float(ss)
