@@ -79,6 +79,29 @@ def main():
             with open(out_file + ".partial", "w") as f:
                 json.dump(results, f, indent=1)
 
+    # Serving mode (compute_metrics=False): the production configuration —
+    # same warp/crop/encode, no cropping/distortion evaluation pass.
+    serve_stab = MeshFlowStabilizer(compute_metrics=False)
+    serve_stab.CHUNK = stabilizer.CHUNK
+    t0 = time.perf_counter()
+    serve_stab.stabilize(CLIP, "/tmp/bench-4k-serve.mp4", 0)
+    dt = time.perf_counter() - t0
+    results["serve_warm"] = {
+        "seconds": round(dt, 2),
+        "fps": round(info.num_frames / dt, 3),
+        "stages": {
+            name: round(seconds, 2)
+            for name, seconds in serve_stab.last_timer.stages
+        },
+        "hbm_stats": hbm(),
+        "note": "compute_metrics=False (no evaluation pass). The flag is "
+        "part of the static config hash, so this run re-traces; identical "
+        "sub-programs load from the persistent XLA cache (near-warm)",
+    }
+    if out_file:
+        with open(out_file + ".partial", "w") as f:
+            json.dump(results, f, indent=1)
+
     record = {
         "bench": "4K smoke (3840x2160, single chip, streaming path)",
         "frames": info.num_frames,
@@ -87,6 +110,9 @@ def main():
         "chunk": stabilizer.CHUNK,
         "realtime_factor_warm": round(
             results["warm"]["fps"] / info.fps, 3
+        ),
+        "realtime_factor_serve_warm": round(
+            results["serve_warm"]["fps"] / info.fps, 3
         ),
         **results,
     }
